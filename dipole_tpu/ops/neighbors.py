@@ -1,0 +1,142 @@
+"""Neighborhood ops: exact kNN, farthest point sampling, kNN interpolation.
+
+TPU-native replacements for the reference's native third-party kernels
+(SURVEY §2.3): torch_cluster.knn_graph (models/XConv.py:124),
+torch_geometric.fps (models/pointcnn.py:68,73), knn_interpolate
+(models/pointcnn.py:95), and the scipy/sklearn KD-trees used for kNN masks.
+
+kNN is exact: per query block, all-pairs distances to the base followed by
+k rounds of masked argmin. Static shapes, no tree builds, no host
+round-trips; O(N*M) pair distances ride the VPU, which beats host KD-tree
+round-trips at the N <= ~100k scales of this framework. (lax.top_k and
+streaming merge formulations are deliberately avoided — they trigger
+multi-minute XLA TPU compiles.)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["knn", "knn_graph", "fps", "knn_interpolate"]
+
+_BQ = 1024   # query block
+_BS = 2048   # source block
+_SENTINEL = 1.0e6
+
+
+def _pad(x, block, fill):
+    rem = (-x.shape[0]) % block
+    if rem == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((rem,) + x.shape[1:], fill, x.dtype)], axis=0
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_padded(query: jnp.ndarray, base: jnp.ndarray, k: int):
+    """Per query block: distances to the full base, then k rounds of masked
+    argmin. This flat structure is deliberate — streaming block-merge and
+    lax.top_k variants trigger multi-minute XLA TPU compiles on this
+    backend, while this one compiles in ~1s and runs at the same speed."""
+    def per_query_block(qb):
+        diff = base[None, :, :] - qb[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)                  # (BQ, M)
+        rows = jnp.arange(d2.shape[0])
+
+        def step(dd, _):
+            j = jnp.argmin(dd, axis=1)
+            v = dd[rows, j]
+            dd = dd.at[rows, j].set(jnp.inf)
+            return dd, (v, j)
+
+        _, (vs, is_) = jax.lax.scan(step, d2, None, length=k)
+        return jnp.moveaxis(vs, 0, 1), jnp.moveaxis(is_.astype(jnp.int32), 0, 1)
+
+    q_blocks = query.reshape(-1, _BQ, 3)
+    d, i = jax.lax.map(per_query_block, q_blocks)
+    return d.reshape(-1, k), i.reshape(-1, k)
+
+
+def knn(base, query, k: int):
+    """For each query point, the k nearest base points (sorted ascending by
+    distance; ties resolve to the lower index). Returns (indices (Nq,k),
+    squared distances (Nq,k))."""
+    base = jnp.asarray(base, jnp.float32)[:, :3]
+    query = jnp.asarray(query, jnp.float32)[:, :3]
+    nq = query.shape[0]
+    k = min(k, base.shape[0])
+    qp = _pad(query, _BQ, _SENTINEL)
+    bp = _pad(base, _BS, -_SENTINEL)  # opposite sign: never nearest to queries
+    d, i = _knn_padded(qp, bp, k)
+    return i[:nq], d[:nq]
+
+
+def knn_graph(pos, k: int, loop: bool = True):
+    """Neighbor index table (N, k) including self when loop=True (the
+    XConv convention, reference models/XConv.py:124-126). With loop=False
+    the self column is dropped (k+1 searched)."""
+    pos = jnp.asarray(pos, jnp.float32)[:, :3]
+    if loop:
+        idx, _ = knn(pos, pos, k)
+        return idx
+    idx, _ = knn(pos, pos, min(k + 1, pos.shape[0]))
+    n = pos.shape[0]
+    rows = jnp.arange(n)[:, None]
+    keep = idx != rows
+    # stable-compact each row to k entries (self may not be first under ties)
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    idx = jnp.take_along_axis(idx, order, axis=1)[:, :k]
+    return idx
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _fps_body(pos: jnp.ndarray, start: jnp.ndarray, m: int):
+    n = pos.shape[0]
+
+    def step(i, carry):
+        sel, mind = carry
+        c = jnp.argmax(mind)
+        sel = sel.at[i].set(c)
+        d = jnp.sum((pos - pos[c]) ** 2, axis=-1)
+        return sel, jnp.minimum(mind, d)
+
+    sel0 = jnp.zeros((m,), jnp.int32).at[0].set(start)
+    mind0 = jnp.sum((pos - pos[start]) ** 2, axis=-1)
+    sel, _ = jax.lax.fori_loop(1, m, step, (sel0, mind0))
+    return sel
+
+
+def fps(pos, ratio: float, start: int | None = None, key=None):
+    """Farthest point sampling: ceil(ratio * N) indices (replaces
+    torch_geometric.fps, reference models/pointcnn.py:68,73). start picks the
+    first point; key draws it randomly (random_start=True semantics)."""
+    pos = jnp.asarray(pos, jnp.float32)[:, :3]
+    n = pos.shape[0]
+    m = int(-(-n * ratio // 1))
+    m = max(1, min(m, n))
+    if start is None:
+        if key is not None:
+            start = int(jax.random.randint(key, (), 0, n))
+        else:
+            start = 0
+    if m == n:
+        # all points selected; keep fps ordering starting at `start`
+        pass
+    return _fps_body(pos, jnp.int32(start), m)
+
+
+def knn_interpolate(x, pos_x, pos_y, k: int = 16):
+    """Inverse-squared-distance kNN interpolation of features from pos_x
+    onto pos_y (replaces torch_geometric.knn_interpolate, reference
+    models/pointcnn.py:95): w = 1 / max(d^2, 1e-16)."""
+    x = jnp.asarray(x, jnp.float32)
+    idx, d2 = knn(pos_x, pos_y, min(k, np.shape(pos_x)[0]))
+    w = 1.0 / jnp.maximum(d2, 1e-16)
+    gathered = x[idx]                                   # (Ny, k, C)
+    num = jnp.sum(gathered * w[..., None], axis=1)
+    den = jnp.sum(w, axis=1, keepdims=True)
+    return num / den

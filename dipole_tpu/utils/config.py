@@ -1,0 +1,53 @@
+"""CLI flag system — same flags, defaults, and opts.txt dump as the
+reference (options.py:5-32), plus a dataclass view for programmatic use."""
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field
+from pathlib import Path
+
+__all__ = ["get_parser", "export_options", "PipelineOptions"]
+
+
+def get_parser(name: str = "Base Options") -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(name)
+    parser.add_argument("--export_dir", type=Path, required=True, help="export directory")
+    parser.add_argument("--propagation_iters", default=10, type=int, help="test epochs")
+    parser.add_argument("--number_parts", type=int, default=15)
+    parser.add_argument("--minimum_points_per_patch", type=int, default=21)
+    parser.add_argument("--curvature_threshold", default=0.0, type=float)
+    parser.add_argument("--pc", type=Path, required=True, help="pc to read")
+    parser.add_argument("--models", nargs="+", type=Path, default=[],
+                        help="path to trained models")
+    parser.add_argument("--iters", default=100, type=int, help="iters to optimize")
+    parser.add_argument("--diffuse", action="store_true")
+    parser.add_argument("--weighted_prop", action="store_true")
+    parser.add_argument("--estimate_normals", action="store_true")
+    parser.add_argument("--n", type=int, default=30,
+                        help="size of knn for normal estimation")
+    return parser
+
+
+def export_options(opts) -> None:
+    d = opts.__dict__ if hasattr(opts, "__dict__") else dict(opts)
+    txt = "\n".join(f"{k}: {v}" for k, v in d.items())
+    Path(opts.export_dir).mkdir(parents=True, exist_ok=True)
+    (Path(opts.export_dir) / "opts.txt").write_text(txt)
+
+
+@dataclass
+class PipelineOptions:
+    """Programmatic options mirroring the CLI defaults."""
+
+    pc: Path | str = ""
+    export_dir: Path | str = ""
+    models: list = field(default_factory=list)
+    iters: int = 100
+    propagation_iters: int = 10
+    number_parts: int = 15
+    minimum_points_per_patch: int = 21
+    curvature_threshold: float = 0.0
+    diffuse: bool = False
+    weighted_prop: bool = False
+    estimate_normals: bool = False
+    n: int = 30

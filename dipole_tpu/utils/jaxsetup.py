@@ -1,0 +1,18 @@
+"""Process-wide JAX configuration: persistent compilation cache.
+
+Imported from dipole_tpu.__init__ so every entry point (CLI, server, bench,
+tests) reuses compiled executables across processes — propagation scans and
+field kernels compile once per shape bucket, ever.
+"""
+import os
+from pathlib import Path
+
+import jax
+
+_cache_dir = os.environ.get(
+    "DIPOLE_TPU_JAX_CACHE",
+    str(Path.home() / ".cache" / "dipole_tpu" / "jax"),
+)
+Path(_cache_dir).mkdir(parents=True, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
