@@ -1,0 +1,82 @@
+"""Programmatic API facade (reference dipole_api.py:14-136).
+
+Exposes orient_large as a callable with api-flavored defaults
+(estimate_normals on by default, ensemble checkpoints preloaded). The
+reference module is a duplicate of orient_large with developer-machine
+default paths; here it delegates to the canonical pipeline."""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from dipole_tpu.cli import orient_large as _orient_large
+from dipole_tpu.utils.config import PipelineOptions
+
+DEFAULT_MODELS = [
+    Path("/root/reference/pre_trained/hands2.pt"),
+    Path("/root/reference/pre_trained/hands.pt"),
+    Path("/root/reference/pre_trained/manmade.pt"),
+]
+
+
+def orient_large(opts):
+    """Run the representative-point pipeline (reference dipole_api.py:14-87)."""
+    return _orient_large.run(opts)
+
+
+def orient_large_np(points, models=None, **kwargs):
+    """Orient an (N, 3|6) array in memory; returns the oriented (N, 6) array.
+
+    Convenience wrapper not present in the reference CLI but implied by its
+    'programmatic API' role."""
+    import tempfile
+
+    import numpy as np
+
+    from dipole_tpu.utils.io import export_pc, load_xyz
+
+    with tempfile.TemporaryDirectory() as td:
+        pc_path = Path(td) / "in.xyz"
+        export_pc(np.asarray(points), pc_path)
+        opts = PipelineOptions(
+            pc=pc_path, export_dir=Path(td) / "out",
+            models=models or DEFAULT_MODELS,
+            iters=kwargs.pop("iters", 5),
+            number_parts=kwargs.pop("number_parts", 10),
+            minimum_points_per_patch=kwargs.pop("minimum_points_per_patch", 100),
+            curvature_threshold=kwargs.pop("curvature_threshold", 0.0),
+            diffuse=True, weighted_prop=True,
+            estimate_normals=kwargs.pop("estimate_normals", True),
+            n=kwargs.pop("n", 30),
+        )
+        Path(opts.export_dir).mkdir(parents=True, exist_ok=True)
+        _orient_large.run(opts)
+        return load_xyz(Path(opts.export_dir) / "final_result.xyz")
+
+
+def get_parser():
+    """API-flavored parser (reference dipole_api.py:101-132): same flags as
+    the base parser but with api defaults and nothing required."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pc", type=Path, default=None, help="path to the point cloud")
+    parser.add_argument("--models", type=Path, nargs="+", default=DEFAULT_MODELS)
+    parser.add_argument("--export_dir", type=Path, default=Path("output"))
+    parser.add_argument("--number_parts", type=int, default=10)
+    parser.add_argument("--minimum_points_per_patch", type=int, default=100)
+    parser.add_argument("--curvature_threshold", type=float, default=0.0)
+    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--diffuse", default=True, action="store_true")
+    parser.add_argument("--weighted_prop", default=True, action="store_true")
+    parser.add_argument("--estimate_normals", default=True, action="store_true")
+    parser.add_argument("--n", type=int, default=30)
+    return parser
+
+
+def main(argv=None):
+    opts = get_parser().parse_args(argv)
+    Path(opts.export_dir).mkdir(parents=True, exist_ok=True)
+    orient_large(opts)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Orientation transfer from an oriented reference cloud.
+
+Pipeline parity with reference reference_orientation.py:8-41: one dense
+dipole field evaluation of the reference cloud at the input points; inputs
+without normals adopt the normalized field direction, inputs with normals
+only take the field's sign. No normalization and no global sign fix."""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from dipole_tpu.ops.estimate import estimate_normals
+from dipole_tpu.ops.fields import reference_field
+from dipole_tpu.utils.io import export_pc, load_xyz
+from dipole_tpu.utils.timing import timer_factory
+
+
+def run(opts):
+    MyTimer = timer_factory()
+    with MyTimer("load input pc", count=False):
+        input_pc = load_xyz(opts.input, append_normals=False)
+    with MyTimer("load reference pc", count=False):
+        ref_pc = load_xyz(opts.reference)
+
+    if input_pc.shape[-1] == 3 and opts.estimate_normals:
+        with MyTimer("estimating normals"):
+            input_pc = estimate_normals(input_pc, max_nn=opts.n)
+
+    with MyTimer("calculating field"):
+        input_pc = reference_field(ref_pc, input_pc)
+
+    with MyTimer("export referenced normals", count=False):
+        export_pc(input_pc, opts.output)
+
+    MyTimer.print_total_time()
+    return input_pc
+
+
+def get_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", type=Path, required=True)
+    parser.add_argument("--reference", type=Path, required=True)
+    parser.add_argument("--output", type=Path, required=True)
+    parser.add_argument("--n", type=int, default=30,
+                        help="size of knn for normal estimation")
+    parser.add_argument("--estimate_normals", action="store_true",
+                        help="estimate normal using pca, or use the field for "
+                             "normal direction as well as orientation")
+    return parser
+
+
+def main(argv=None):
+    run(get_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

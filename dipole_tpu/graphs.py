@@ -250,3 +250,86 @@ class GraphPC:
         print("flip acc: ", self.cal_flip_acc())
         print("edge acc: ", self.cal_edge_acc())
         return 0
+
+
+def minimum_spanning_tree(n: int, edges):
+    """Prim's MST over an edge list [(u, v, w)]. Returns adjacency lists of
+    the tree. Used by the Hoppe-style consistent orientation below."""
+    import heapq as _hq
+
+    adj = [[] for _ in range(n)]
+    for u, v, w in edges:
+        adj[u].append((w, v))
+        adj[v].append((w, u))
+    tree = [[] for _ in range(n)]
+    visited = np.zeros(n, dtype=bool)
+    for root in range(n):
+        if visited[root]:
+            continue
+        visited[root] = True
+        heap = [(w, root, v) for w, v in adj[root]]
+        _hq.heapify(heap)
+        while heap:
+            w, u, v = _hq.heappop(heap)
+            if visited[v]:
+                continue
+            visited[v] = True
+            tree[u].append(v)
+            tree[v].append(u)
+            for w2, x in adj[v]:
+                if not visited[x]:
+                    _hq.heappush(heap, (w2, v, x))
+    return tree
+
+
+def orient_normals_hoppe(pc: np.ndarray, k: int = 10) -> np.ndarray:
+    """Consistent tangent-plane orientation (Hoppe et al. 1992) — the
+    capability the reference gets from Open3D's
+    orient_normals_consistent_tangent_plane (socket_server.py:40-60):
+    MST over the kNN graph with 1 - |n_i . n_j| weights, oriented by
+    depth-first propagation from the max-z point (normal forced to +z)."""
+    pc = np.array(pc, dtype=np.float32, copy=True)
+    n = len(pc)
+    if n == 0:
+        return pc
+    xyz = pc[:, :3].astype(np.float64)
+    nrm = pc[:, 3:6].astype(np.float64)
+    tree_q = cKDTree(xyz)
+    kk = min(k + 1, n)
+    _, idx = tree_q.query(xyz, k=kk)
+    if kk == 1:
+        idx = idx[:, None]
+    edges = []
+    seen = set()
+    for i in range(n):
+        for j in idx[i]:
+            j = int(j)
+            if j == i:
+                continue
+            key = (i, j) if i < j else (j, i)
+            if key in seen:
+                continue
+            seen.add(key)
+            w = 1.0 - abs(float(np.dot(nrm[i], nrm[j])))
+            edges.append((key[0], key[1], w))
+    tree = minimum_spanning_tree(n, edges)
+    root = int(np.argmax(xyz[:, 2]))
+    if nrm[root][2] < 0:
+        nrm[root] = -nrm[root]
+    visited = np.zeros(n, dtype=bool)
+    stack = [root]
+    visited[root] = True
+    order = np.arange(n)
+    while stack:
+        u = stack.pop()
+        for v in tree[u]:
+            if not visited[v]:
+                visited[v] = True
+                if np.dot(nrm[u], nrm[v]) < 0:
+                    nrm[v] = -nrm[v]
+                stack.append(v)
+    for r in np.flatnonzero(~visited):
+        # disconnected components: orient their own max-z point upward
+        visited[r] = True
+    pc[:, 3:6] = nrm.astype(np.float32)
+    return pc

@@ -1,0 +1,43 @@
+"""Ensemble inference utilities (reference inference_utils.py).
+
+load_model_from_file (:38-44) -> PointCNNParams.from_files (torch-free)
+voting_policy (:47-49)        -> mean softmax flip probability, flip < 0.5
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from dipole_tpu.models.pointcnn import PointCNNParams
+
+__all__ = ["load_model_from_file", "voting_policy", "ensemble_vote"]
+
+
+def load_model_from_file(path) -> PointCNNParams:
+    return PointCNNParams.from_files(path)
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def voting_policy(probs_list):
+    """Mean per-point P(flip) across models; flip where < 0.5 (reference
+    inference_utils.py:47-49). Returns (flip_mask, probs)."""
+    probs = np.stack([np.asarray(p) for p in probs_list], axis=0).mean(axis=0)
+    return probs < 0.5, probs
+
+
+def ensemble_vote(models, patch, key=None):
+    """Run every model on a patch and vote. Returns (flip_mask, probs)."""
+    import jax
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, len(models))
+    votes = []
+    for m, k in zip(models, keys):
+        logits = m.logits(patch, key=k)
+        votes.append(_softmax(logits)[:, 1])
+    return voting_policy(votes)

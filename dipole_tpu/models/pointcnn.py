@@ -1,0 +1,244 @@
+"""PointCNN flip-classifier — functional JAX implementation.
+
+Architecture parity with the reference PointCNN (models/pointcnn.py:11-109)
+and XConv (models/XConv.py:20-161), consuming the torch state_dicts loaded
+by models/checkpoints.py directly (flat param dict keyed by the torch
+names), so the three shipped checkpoints drive this network unchanged.
+
+Model: per-patch input (N, 6) [xyz + unoriented normal] -> per-point 2-class
+logits [keep, flip]. Encoder: 4 XConv stages (6->32->64->128->256, kernel
+sizes 16/20/20/20) with FPS pooling between stages; decoder: 3 XConv +
+inverse-distance kNN upsampling + a final linear to 2 channels. Input is
+canonicalized per patch: centered, rotated to PCA axes, xyz scaled by the
+largest eigenvalue (reference models/pointcnn.py:36-38, util.py:503-517).
+
+TPU-first design:
+  * one jitted forward per (bucket, pool) — patches are padded to
+    power-of-two buckets with a validity mask threaded through every stage
+    (kNN, FPS, interpolation), so hundreds of ragged patches reuse a handful
+    of compiled programs;
+  * kNN/FPS/interpolation are the masked on-device kernels from
+    ops/neighbors.py — no torch_cluster/torch_geometric C++ ops;
+  * the X-transform's grouped Conv1d stacks are expressed as einsums over
+    reshaped weights (a grouped conv with kernel == length is a per-group
+    linear map), which XLA fuses onto the MXU.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dipole_tpu.ops.linalg import eigh3x3
+
+__all__ = ["pointcnn_logits", "PointCNNParams", "KERNEL_SIZES"]
+
+_HI = jax.lax.Precision.HIGHEST
+_SENTINEL = 1.0e6
+
+# (K, C_in, C_out) per stage, from the reference architecture
+ENCODER = [(16, 6, 32), (20, 32, 64), (20, 64, 128), (20, 128, 256)]
+DECODER = [(20, 256, 128), (20, 128, 64), (20, 64, 32)]
+KERNEL_SIZES = [s[0] for s in ENCODER + DECODER]
+
+
+def _linear(p, prefix, x):
+    return jnp.dot(x, p[f"{prefix}.weight"].T, precision=_HI) + p[f"{prefix}.bias"]
+
+
+def _elu(x):
+    return jax.nn.elu(x)
+
+
+def _knn_self(pos, k):
+    """Self-inclusive kNN among the padded patch (small N: dense)."""
+    d2 = jnp.sum((pos[None, :, :] - pos[:, None, :]) ** 2, axis=-1)
+    rows = jnp.arange(pos.shape[0])
+
+    def step(dd, _):
+        j = jnp.argmin(dd, axis=1)
+        dd = dd.at[rows, j].set(jnp.inf)
+        return dd, j
+
+    _, idx = jax.lax.scan(step, d2, None, length=k)
+    return jnp.moveaxis(idx, 0, 1)                       # (N, k)
+
+
+def _xconv(p, prefix, x, pos, K, C_in, C_out):
+    """One XConv stage (reference models/XConv.py:119-157)."""
+    N = pos.shape[0]
+    idx = _knn_self(pos, K)
+    pos_diff = pos[idx] - pos[:, None, :]                # neighbor - center
+
+    if x is None:
+        h = _elu(_linear(p, f"{prefix}.mlp1.0", pos_diff.reshape(-1, 3)))
+        h = _elu(_linear(p, f"{prefix}.mlp1.3", h))
+        x_knn = h.reshape(N, K, -1)
+    else:
+        x_knn = x[idx]                                   # (N, K, C_in)
+
+    # X-transform: Linear(3K -> K^2), two grouped "conv" stages (each a
+    # per-group K->K linear), producing the (K, K) transform per point
+    T = _elu(_linear(p, f"{prefix}.mlp2.0", pos_diff.reshape(N, K * 3)))
+    T = T.reshape(N, K, K)
+    w4 = p[f"{prefix}.mlp2.4.weight"].reshape(K, K, K)   # (g, o, t)
+    b4 = p[f"{prefix}.mlp2.4.bias"].reshape(K, K)
+    T = _elu(jnp.einsum("ngt,got->ngo", T, w4, precision=_HI) + b4)
+    w8 = p[f"{prefix}.mlp2.8.weight"].reshape(K, K, K)
+    b8 = p[f"{prefix}.mlp2.8.bias"].reshape(K, K)
+    T = jnp.einsum("ngt,got->ngo", T, w8, precision=_HI) + b8
+
+    # x_transformed[n, c, k] = sum_j T[n, k, j] * x_knn[n, j, c]
+    xt = jnp.einsum("nkj,njc->nck", T, x_knn, precision=_HI)
+
+    # depthwise conv (groups = C_in, kernel = K) + linear out
+    dm = -(-C_out // C_in)
+    w0 = p[f"{prefix}.conv.0.weight"].reshape(C_in, dm, K)
+    b0 = p[f"{prefix}.conv.0.bias"].reshape(C_in, dm)
+    out = jnp.einsum("nct,cmt->ncm", xt, w0, precision=_HI) + b0
+    out = out.reshape(N, C_in * dm)
+    return _linear(p, f"{prefix}.conv.2", out)
+
+
+def _fps_masked(pos, valid, m, start):
+    """FPS over valid points only; padded rows (valid=False) are never
+    selected while any real point remains (their running distance is -1)."""
+    mind = jnp.where(valid, jnp.sum((pos - pos[start]) ** 2, axis=-1), -1.0)
+
+    def step(i, carry):
+        sel, mind = carry
+        c = jnp.argmax(mind)
+        sel = sel.at[i].set(c)
+        d = jnp.sum((pos - pos[c]) ** 2, axis=-1)
+        return sel, jnp.minimum(mind, d)
+
+    sel0 = jnp.zeros((m,), jnp.int32).at[0].set(start)
+    sel, _ = jax.lax.fori_loop(1, m, step, (sel0, mind))
+    return sel
+
+
+def _random_valid_index(key, valid):
+    n_valid = valid.sum()
+    k = jnp.minimum((jax.random.uniform(key) * n_valid).astype(jnp.int32),
+                    n_valid - 1)
+    cs = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    return jnp.argmax((cs == k) & valid)
+
+
+def _interpolate(x, pos_src, pos_dst, k=16):
+    """Inverse-squared-distance kNN interpolation (reference
+    models/pointcnn.py:95 / torch_geometric semantics)."""
+    d2 = jnp.sum((pos_src[None, :, :] - pos_dst[:, None, :]) ** 2, axis=-1)
+    rows = jnp.arange(pos_dst.shape[0])
+
+    def step(dd, _):
+        j = jnp.argmin(dd, axis=1)
+        v = dd[rows, j]
+        dd = dd.at[rows, j].set(jnp.inf)
+        return dd, (j, v)
+
+    _, (idx, dist2) = jax.lax.scan(step, d2, None, length=k)
+    idx = jnp.moveaxis(idx, 0, 1)
+    dist2 = jnp.moveaxis(dist2, 0, 1)
+    w = 1.0 / jnp.maximum(dist2, 1e-16)
+    return jnp.sum(x[idx] * w[..., None], axis=1) / jnp.sum(w, axis=1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("m1", "m2"))
+def _forward(p, pc, valid, key, pool, m1: int, m2: int):
+    """Padded forward: pc (Npad, 6), valid (Npad,) -> logits (Npad, 2).
+
+    m1/m2 are the *padded* FPS sizes (static, per bucket); the number of
+    genuinely selected points is ceil(pool * n_valid), tracked via validity
+    masks so padded rows never influence real outputs."""
+    w = valid.astype(jnp.float32)
+    cnt = jnp.maximum(w.sum(), 1.0)
+
+    # canonicalize: center, PCA-rotate (xyz scaled by sqrt(largest eig),
+    # normals rotated unscaled) — reference pointcnn.py:36-38, util.py:503-517
+    xyz = pc[:, :3]
+    mean = (xyz * w[:, None]).sum(0) / cnt
+    xyz = xyz - mean
+    temp = xyz * w[:, None]
+    cov = jnp.einsum("ni,nj->ij", temp, temp, precision=_HI) / cnt
+    e, V = eigh3x3(cov)
+    rot = jnp.dot(xyz, V, precision=_HI) / jnp.sqrt(jnp.maximum(e[2], 1e-20))
+    nrm = jnp.dot(pc[:, 3:6], V, precision=_HI)
+    pos1 = jnp.where(valid[:, None], rot, _SENTINEL)
+    x = jnp.concatenate([pos1, nrm], axis=1)
+
+    k1, k2 = jax.random.split(key)
+
+    # encoder (reference models/pointcnn.py:63-78)
+    x = jax.nn.relu(_xconv(p, "encoder.conv1", x, pos1, 16, 6, 32))
+
+    sel1 = _fps_masked(pos1, valid, m1, _random_valid_index(k1, valid))
+    valid2 = jnp.arange(m1) < jnp.ceil(pool * valid.sum()).astype(jnp.int32)
+    x = x[sel1]
+    pos2 = jnp.where(valid2[:, None], pos1[sel1], _SENTINEL)
+    x = jax.nn.relu(_xconv(p, "encoder.conv2", x, pos2, 20, 32, 64))
+
+    sel2 = _fps_masked(pos2, valid2, m2, _random_valid_index(k2, valid2))
+    valid3 = jnp.arange(m2) < jnp.ceil(pool * valid2.sum()).astype(jnp.int32)
+    x = x[sel2]
+    pos3 = jnp.where(valid3[:, None], pos2[sel2], _SENTINEL)
+    x = jax.nn.relu(_xconv(p, "encoder.conv3", x, pos3, 20, 64, 128))
+    x = jax.nn.relu(_xconv(p, "encoder.conv4", x, pos3, 20, 128, 256))
+
+    # decoder (reference models/pointcnn.py:91-109)
+    x = jax.nn.relu(_xconv(p, "decoder.conv1", x, pos3, 20, 256, 128))
+    x = _interpolate(x, pos3, pos2)
+    x = jax.nn.relu(_xconv(p, "decoder.conv2", x, pos2, 20, 128, 64))
+    x = _interpolate(x, pos2, pos1)
+    x = jax.nn.relu(_xconv(p, "decoder.conv3", x, pos1, 20, 64, 32))
+    return _linear(p, "decoder.lin4", x)
+
+
+class PointCNNParams:
+    """A loaded checkpoint + pool ratio, callable on ragged patches.
+
+    Pads each patch to a power-of-two bucket so all patches share a handful
+    of compiled programs (replaces reference inference_utils.load_model_from_file
+    :38-44)."""
+
+    def __init__(self, params: dict, pool: float):
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        self.pool = float(pool)
+
+    @staticmethod
+    def from_files(pt_path, txt_path=None):
+        from dipole_tpu.models.checkpoints import load_state_dict, load_model_opts
+        from pathlib import Path
+
+        pt_path = Path(pt_path)
+        txt_path = txt_path or pt_path.with_suffix(".txt")
+        return PointCNNParams(load_state_dict(pt_path),
+                              load_model_opts(txt_path)["pool"])
+
+    def logits(self, patch, key=None) -> np.ndarray:
+        """Per-point 2-class logits for an (n, 6) patch."""
+        return pointcnn_logits(self.params, self.pool, patch, key)
+
+
+def _bucket(n: int, base: int = 128) -> int:
+    b = base
+    while b < n:
+        b *= 2
+    return b
+
+
+def pointcnn_logits(params, pool: float, patch, key=None, bucket=None) -> np.ndarray:
+    patch = np.asarray(patch, dtype=np.float32)
+    n = patch.shape[0]
+    nb = bucket if bucket is not None else _bucket(n)
+    pad = np.zeros((nb - n, 6), np.float32)
+    pc = jnp.asarray(np.concatenate([patch, pad], axis=0))
+    valid = jnp.zeros((nb,), bool).at[:n].set(True)
+    m1 = int(-(-nb * pool // 1))
+    m2 = int(-(-m1 * pool // 1))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    out = _forward(params, pc, valid, key, jnp.float32(pool), m1, m2)
+    return np.asarray(out)[:n]

@@ -254,7 +254,10 @@ def strongest_field_propagation_patches(pts, filtered_patches, all_patches,
 
     total = sign[seg].copy()                             # per-point sign
     if diffuse:
-        acc = F @ sign                                   # E.n_weighted per point
+        # accumulated E.n per point; a patch's field never lands on its own
+        # points in the reference's diffuse spreading (field_utils.py:326-331),
+        # so subtract the own-patch column
+        acc = F @ sign - F[np.arange(n), seg] * sign[seg]
         for _, idx in filtered_patches:
             idx = np.asarray(idx)
             inter = acc[idx] * total[idx]
@@ -308,8 +311,9 @@ def strongest_field_propagation_reps(pts, reps, diffuse: bool = False,
             total[rest] = sign_patch[p]
 
     if diffuse:
-        # per-rep-point re-vote against the accumulated rep field
-        acc = F @ sign_patch
+        # per-rep-point re-vote; own-patch field excluded (the reference's
+        # diffuse spread skips the emitting patch, field_utils.py:256-261)
+        acc = F @ sign_patch - F[np.arange(len(rep_concat)), rep_seg] * sign_patch[rep_seg]
         cur = total[rep_concat]
         vote = np.where(acc * cur > 0, 1.0, -1.0).astype(np.float32)
         total[rep_concat] = cur * vote

@@ -1,0 +1,124 @@
+"""PointCNN model tests: torch-free checkpoint loading, XConv wiring parity
+against a torch-module oracle, padding invariance, and ensemble voting on
+real checkpoints."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dipole_tpu.models import checkpoints, pointcnn
+from dipole_tpu.models.inference import ensemble_vote, load_model_from_file
+
+PRE = "/root/reference/pre_trained"
+
+
+@pytest.fixture(scope="module")
+def hands_sd():
+    return checkpoints.load_state_dict(f"{PRE}/hands.pt")
+
+
+def test_checkpoint_loader_matches_torch(hands_sd):
+    torch = pytest.importorskip("torch")
+    ref = torch.load(f"{PRE}/hands.pt", map_location="cpu")
+    assert list(hands_sd.keys()) == list(ref.keys())
+    for k in hands_sd:
+        assert np.array_equal(hands_sd[k], ref[k].numpy()), k
+
+
+def test_checkpoint_loader_rejects_arbitrary_objects(tmp_path):
+    import pickle, zipfile
+
+    class Evil:
+        def __reduce__(self):
+            return (print, ("pwned",))
+
+    p = tmp_path / "evil.pt"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("evil/data.pkl", pickle.dumps({"x": Evil()}))
+    with pytest.raises(Exception):
+        checkpoints.load_state_dict(p)
+
+
+def _torch_xconv_oracle(sd, prefix, x_knn, pos_diff, K, C_in, C_out):
+    """Test-only oracle: applies the XConv math with torch's own
+    Linear/Conv1d modules loaded from the checkpoint, on precomputed
+    neighborhoods, to validate the JAX weight wiring."""
+    import torch
+    import torch.nn as tnn
+
+    N = pos_diff.shape[0]
+    t = lambda a: torch.tensor(np.asarray(a))
+
+    lin0 = tnn.Linear(3 * K, K * K)
+    lin0.weight.data = t(sd[f"{prefix}.mlp2.0.weight"])
+    lin0.bias.data = t(sd[f"{prefix}.mlp2.0.bias"])
+    c4 = tnn.Conv1d(K, K * K, K, groups=K)
+    c4.weight.data = t(sd[f"{prefix}.mlp2.4.weight"])
+    c4.bias.data = t(sd[f"{prefix}.mlp2.4.bias"])
+    c8 = tnn.Conv1d(K, K * K, K, groups=K)
+    c8.weight.data = t(sd[f"{prefix}.mlp2.8.weight"])
+    c8.bias.data = t(sd[f"{prefix}.mlp2.8.bias"])
+    dm = -(-C_out // C_in)
+    c0 = tnn.Conv1d(C_in, C_in * dm, K, groups=C_in)
+    c0.weight.data = t(sd[f"{prefix}.conv.0.weight"])
+    c0.bias.data = t(sd[f"{prefix}.conv.0.bias"])
+    lin2 = tnn.Linear(C_in * dm, C_out)
+    lin2.weight.data = t(sd[f"{prefix}.conv.2.weight"])
+    lin2.bias.data = t(sd[f"{prefix}.conv.2.bias"])
+
+    with torch.no_grad():
+        pd = t(pos_diff)
+        T = torch.nn.functional.elu(lin0(pd.reshape(N, K * 3)))
+        T = torch.nn.functional.elu(c4(T.reshape(N, K, K))).reshape(N, K, K)
+        T = c8(T).reshape(N, K, K)
+        x_star = t(x_knn).transpose(1, 2).reshape(N, C_in, K, 1)
+        xt = torch.matmul(T.reshape(N, 1, K, K), x_star).reshape(N, C_in, K)
+        out = c0(xt).reshape(N, C_in * dm)
+        out = lin2(out)
+    return out.numpy()
+
+
+def test_xconv_wiring_matches_torch(hands_sd):
+    pytest.importorskip("torch")
+    r = np.random.default_rng(0)
+    N, K, C_in, C_out = 64, 16, 6, 32
+    pos = r.normal(size=(N, 3)).astype(np.float32)
+    x = r.normal(size=(N, 6)).astype(np.float32)
+    idx = np.asarray(pointcnn._knn_self(jnp.asarray(pos), K))
+    pos_diff = pos[idx] - pos[:, None, :]
+    x_knn = x[idx]
+
+    params = {k: jnp.asarray(v) for k, v in hands_sd.items()}
+    ours = np.asarray(
+        pointcnn._xconv(params, "encoder.conv1", jnp.asarray(x),
+                        jnp.asarray(pos), K, C_in, C_out)
+    )
+    oracle = _torch_xconv_oracle(hands_sd, "encoder.conv1", x_knn, pos_diff,
+                                 K, C_in, C_out)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-4)
+
+
+def test_forward_padding_invariance(hands_sd):
+    r = np.random.default_rng(1)
+    patch = r.normal(size=(100, 6)).astype(np.float32)
+    patch[:, 3:] /= np.linalg.norm(patch[:, 3:], axis=1, keepdims=True)
+    params = {k: jnp.asarray(v) for k, v in hands_sd.items()}
+    key = jax.random.PRNGKey(7)
+    a = pointcnn.pointcnn_logits(params, 0.6, patch, key=key, bucket=128)
+    b = pointcnn.pointcnn_logits(params, 0.6, patch, key=key, bucket=256)
+    assert np.isfinite(a).all() and a.shape == (100, 2)
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+def test_ensemble_vote_on_real_patch():
+    from dipole_tpu.utils.io import load_xyz, Transform
+
+    pc = load_xyz("/root/reference/data/ok.xyz")
+    pc, _ = Transform.trans(pc)
+    patch = pc[:200]
+    models = [load_model_from_file(f"{PRE}/{n}.pt") for n in ["hands", "hands2"]]
+    flip, probs = ensemble_vote(models, patch)
+    assert flip.shape == (200,) and probs.shape == (200,)
+    assert np.isfinite(probs).all()
+    assert (probs >= 0).all() and (probs <= 1).all()
