@@ -1,0 +1,79 @@
+"""Benchmark: dipole field evaluation throughput (the framework's hot kernel).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value = Mpoint-pairs/s of dipole field evaluation on a 15000x15000 pair
+block (the reference's maximum dense tile, field_utils.py:61) on the
+available accelerator; vs_baseline = speedup over the PyTorch-CPU reference
+kernel executing the same math (measured live on a smaller block and scaled
+per-pair, since the torch kernel is O(pairs))."""
+import json
+import time
+
+import numpy as np
+
+
+def _cloud(n, seed):
+    r = np.random.default_rng(seed)
+    pc = r.normal(size=(n, 6)).astype(np.float32)
+    pc[:, 3:] /= np.linalg.norm(pc[:, 3:], axis=1, keepdims=True)
+    return pc
+
+
+def bench_tpu(n_src=15000, n_tgt=15000, iters=5):
+    from dipole_tpu.ops import fields
+
+    src = _cloud(n_src, 0)
+    tgt = _cloud(n_tgt, 1)
+    # warm up (axon defers compilation to first execution)
+    np.asarray(fields.field_grad(src, tgt[:, :3]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = np.asarray(fields.field_grad(src, tgt[:, :3]))
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(out).all()
+    return (n_src * n_tgt) / dt / 1e6  # Mpairs/s
+
+
+def bench_torch_cpu(n_src=3000, n_tgt=3000):
+    """Reference kernel math in torch on CPU (same formula, dense block)."""
+    import torch
+
+    src = torch.tensor(_cloud(n_src, 0))
+    tgt = torch.tensor(_cloud(n_tgt, 1)[:, :3])
+
+    def field(sources, means, eps=1e-5):
+        p = sources[:, 3:]
+        R = sources[:, None, :3] - means[None, :, :3]
+        zero = R.norm(dim=-1) == 0
+        Ru = R.clone()
+        Ru[~zero] = R[~zero] / R[~zero].norm(dim=-1)[:, None]
+        Ru[zero] = 0
+        E = 3 * (p[:, None, :] * Ru).sum(dim=-1)[:, :, None] * Ru - p[:, None, :]
+        E[zero] = 0
+        E = E / (R.norm(dim=-1) ** 3 + eps)[:, :, None]
+        return E.sum(dim=0) * -1
+
+    field(src[:256], tgt[:256])  # warm
+    t0 = time.perf_counter()
+    field(src, tgt)
+    dt = time.perf_counter() - t0
+    return (n_src * n_tgt) / dt / 1e6  # Mpairs/s
+
+
+def main():
+    value = bench_tpu()
+    try:
+        baseline = bench_torch_cpu()
+        vs = value / baseline
+    except Exception:
+        vs = float("nan")
+    print(json.dumps({
+        "metric": "dipole_field_eval_throughput",
+        "value": round(value, 1),
+        "unit": "Mpairs/s",
+        "vs_baseline": round(vs, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

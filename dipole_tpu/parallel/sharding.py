@@ -1,0 +1,146 @@
+"""Multi-chip sharding for the field kernels and model math.
+
+The reference is single-process/single-GPU; its only scale-out is "run more
+server processes" (SURVEY §2.2). The TPU-native analog (SURVEY §5.8): a
+jax.sharding.Mesh over the chips and SPMD field kernels —
+
+  * target-sharded: each chip holds a shard of the target points and the
+    full source set; pair tiles are computed locally, no communication.
+    This is the right layout when targets >> sources (lattice sign fix,
+    rest-point orientation in orient_large).
+  * source-sharded: each chip holds a source shard and all targets; partial
+    fields are reduced with a psum over ICI. Right when the source cloud
+    exceeds one chip's HBM appetite.
+
+Both compose: shard targets on one mesh axis and sources on another for a
+2D decomposition with a single psum along the source axis.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dipole_tpu.ops import fields
+
+__all__ = ["make_mesh", "field_grad_sharded", "potential_sharded",
+           "interaction_accumulate_sharded"]
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def _pad_to(x: np.ndarray, mult: int, fill: float) -> np.ndarray:
+    rem = (-len(x)) % mult
+    if rem == 0:
+        return x
+    pad = np.full((rem,) + x.shape[1:], fill, dtype=x.dtype)
+    return np.concatenate([x, pad], axis=0)
+
+
+def field_grad_sharded(sources, targets, mesh: Mesh, eps: float = 1e-5,
+                       shard: str = "targets") -> np.ndarray:
+    """Dipole field with the pair space sharded over the mesh.
+
+    shard="targets": each device computes its target shard from the full
+    source set (no collectives). shard="sources": each device owns a source
+    shard; partial fields are psum-reduced over ICI."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    src = np.asarray(sources, np.float32)
+    tgt = np.asarray(targets, np.float32)[:, :3]
+    n_t = len(tgt)
+
+    if shard == "targets":
+        tgt_p = _pad_to(tgt, n_dev * fields.BLOCK_T, fields._SENTINEL)
+
+        @partial(
+            jax.shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(), P(axis, None), P()),
+            out_specs=P(axis, None),
+        )
+        def run(src_rep, tgt_shard, eps_):
+            return fields._field_grad_padded(src_rep, tgt_shard, eps_)
+
+        src_p = np.asarray(fields._prep_sources(src))
+        out = run(src_p, tgt_p, jnp.float32(eps))
+        return np.asarray(out)[:n_t]
+
+    if shard == "sources":
+        # pad sources so each shard is a whole number of source blocks
+        src_p = _pad_to(src, n_dev * fields.BLOCK_S, 0.0)
+        src_p[len(src):, :3] = fields._SENTINEL
+        src_p[len(src):, 3:] = 0.0
+        tgt_p = _pad_to(tgt, fields.BLOCK_T, fields._SENTINEL)
+
+        @partial(
+            jax.shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(axis, None), P(), P()),
+            out_specs=P(),
+        )
+        def run(src_shard, tgt_rep, eps_):
+            partial_E = fields._field_grad_padded(src_shard, tgt_rep, eps_)
+            return jax.lax.psum(partial_E, axis)
+
+        out = run(src_p, tgt_p, jnp.float32(eps))
+        return np.asarray(out)[:n_t]
+
+    raise ValueError(f"unknown shard mode {shard!r}")
+
+
+def potential_sharded(sources, targets, mesh: Mesh) -> np.ndarray:
+    """Lattice potential with sources sharded + psum (the global sign fix at
+    multi-chip scale)."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    src = np.asarray(sources, np.float32)
+    tgt = np.asarray(targets, np.float32)[:, :3]
+    n_t = len(tgt)
+    src_p = _pad_to(src, n_dev * fields.BLOCK_S, 0.0)
+    src_p[len(src):, :3] = fields._SENTINEL
+    src_p[len(src):, 3:] = 0.0
+    tgt_p = _pad_to(tgt, fields.BLOCK_T, fields._SENTINEL)
+
+    @partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(axis, None), P()),
+        out_specs=P(),
+    )
+    def run(src_shard, tgt_rep):
+        return jax.lax.psum(fields._potential_padded(src_shard, tgt_rep), axis)
+
+    return np.asarray(run(src_p, tgt_p))[:n_t]
+
+
+def interaction_accumulate_sharded(pts, signs, mesh: Mesh, eps: float = 1e-5):
+    """acc_i = sum_j sign_j * I_ij with sources sharded over the mesh — the
+    distributed building block for diffuse re-votes on clouds that exceed one
+    chip (each chip sees all targets, psum over source shards)."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    pts = np.asarray(pts, np.float32)
+    n = len(pts)
+    signed = pts.copy()
+    signed[:, 3:6] *= np.asarray(signs, np.float32)[:, None]
+    src_p = _pad_to(signed, n_dev * fields.BLOCK_S, 0.0)
+    src_p[n:, :3] = fields._SENTINEL
+    src_p[n:, 3:] = 0.0
+    tgt_p = _pad_to(pts, fields.BLOCK_T, fields._SENTINEL)
+
+    @partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(axis, None), P(), P()),
+        out_specs=P(),
+    )
+    def run(src_shard, tgt_rep, eps_):
+        E = fields._field_grad_padded(src_shard, tgt_rep[:, :3], eps_)
+        return jax.lax.psum(E, axis)
+
+    E = np.asarray(run(src_p, tgt_p, jnp.float32(eps)))[:n]
+    return (E * pts[:, 3:6]).sum(-1)

@@ -1,0 +1,145 @@
+"""Multithreaded TCP orientation server with admission control.
+
+Parity with reference socket_server_para.py: thread-per-connection capped at
+max_thread (:200-211), quadratic-memory admission control on sum N^2 <=
+30000^2 with poll-sleep queuing (:16-59), colored console + file logging
+(:22-34), degenerate-input short-circuit (:70-75), and the five-function
+dispatch (:167-186). The --gpu flag becomes --device (a JAX device index);
+scale-out remains one server process per device."""
+from __future__ import annotations
+
+import argparse
+import socket
+import threading
+import time
+from pathlib import Path
+
+from dipole_tpu.serve import protocol
+from dipole_tpu.serve.handlers import dispatch
+
+HOST = "0.0.0.0"
+PORT = 12345
+MAX_THREAD = 50
+MAX_PTS = 30000 * 30000
+
+_COLORS = {"error": "\033[1;31m", "warning": "\033[1;33m", "info": "\033[1;32m"}
+
+
+def log_msg(msg: str, mode: str = "error", log_dir: str = ".") -> None:
+    now = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
+    color = _COLORS.get(mode, _COLORS["info"])
+    print(f"{color}{msg}\033[0m")
+    with open(Path(log_dir) / f"{mode}.log", "a") as f:
+        f.write(f"{now} {msg}\n")
+
+
+class AdmissionControl:
+    """Quota on concurrently processed sum-of-N^2 (reference
+    socket_server_para.py:37-67). Oversized single jobs are rejected;
+    other jobs queue, polling every poll_s seconds."""
+
+    def __init__(self, max_pts: int = MAX_PTS, poll_s: float = 20.0):
+        self.max_pts = max_pts
+        self.res_pts = max_pts
+        self.poll_s = poll_s
+        self._mtx = threading.Lock()
+
+    def acquire(self, n_points: int) -> None:
+        need = n_points * n_points
+        if need > self.max_pts:
+            msg = (f"Too many points to process at once. {need} points "
+                   f"requested, but only {self.max_pts} points allowed.")
+            log_msg(msg, mode="error")
+            raise ValueError(msg)
+        warned = False
+        while True:
+            with self._mtx:
+                if need <= self.res_pts:
+                    self.res_pts -= need
+                    return
+            if not warned:
+                print(f"Waiting for points. Applying {need} points, "
+                      f"but only {self.res_pts} points left.")
+                warned = True
+            time.sleep(self.poll_s)
+
+    def release(self, n_points: int) -> None:
+        with self._mtx:
+            self.res_pts += n_points * n_points
+
+
+class Server:
+    def __init__(self, host=HOST, port=PORT, max_thread=MAX_THREAD,
+                 admission: AdmissionControl | None = None):
+        self.host = host
+        self.port = port
+        self.max_thread = max_thread
+        self.admission = admission or AdmissionControl()
+        self._stop = threading.Event()
+
+    def handle_client(self, conn: socket.socket, addr) -> None:
+        with conn:
+            print(f"Connected by {addr}")
+            acquired = 0
+            try:
+                req, xyz = protocol.read_request(conn)
+                print(req)
+                self.admission.acquire(len(xyz))
+                acquired = len(xyz)
+                result = dispatch(req["function_name"], xyz,
+                                  req.get("function_config", {}), log=log_msg)
+                protocol.send_result(conn, result)
+            except Exception as e:  # noqa: BLE001
+                print(f"Error: {e}")
+                log_msg(f"Error: {e}", mode="error")
+                protocol.send_error(conn)
+            finally:
+                if acquired:
+                    self.admission.release(acquired)
+
+    def serve_forever(self) -> None:
+        with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+            s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            s.bind((self.host, self.port))
+            s.listen()
+            s.settimeout(1.0)
+            print(f"Server listening on {self.host}:{self.port}")
+            while not self._stop.is_set():
+                try:
+                    conn, addr = s.accept()
+                except socket.timeout:
+                    continue
+                while threading.active_count() > self.max_thread:
+                    time.sleep(1)
+                t = threading.Thread(target=self.handle_client, args=(conn, addr),
+                                     daemon=True)
+                t.start()
+                print(f"Active threads: {threading.active_count()}")
+
+    def stop(self):
+        self._stop.set()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--port", type=int, default=PORT)
+    parser.add_argument("--host", type=str, default=HOST)
+    parser.add_argument("--max_thread", type=int, default=MAX_THREAD)
+    parser.add_argument("--device", type=int, default=0,
+                        help="JAX device index (reference --gpu analog)")
+    args = parser.parse_args(argv)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices()[args.device])
+    server = Server(args.host, args.port, args.max_thread)
+    if args.max_thread > 1:
+        server.serve_forever()
+    else:
+        # single-thread mode: handle connections inline
+        server.max_thread = 1
+        server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

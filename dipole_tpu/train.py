@@ -1,0 +1,179 @@
+"""Training for the PointCNN flip classifier.
+
+The reference ships pretrained checkpoints only (SURVEY §5.4 — no training
+code anywhere); this module adds the training capability the checkpoints
+imply: per-point binary classification of whether a normal is flipped
+relative to the consistent orientation, trained on synthetically flipped
+patches (class 1 = correctly oriented / keep, class 0 = flip — matching the
+voting convention at inference_utils.py:47-49).
+
+TPU-first: the step is one jitted SPMD program over a (data, model) mesh —
+the patch batch is sharded over 'data' (DP), and the widest weight matrices
+(the X-transform lifts and stage output projections) are sharded over
+'model' on their output dimension (TP); XLA inserts the all-gathers /
+reduce-scatters over ICI.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dipole_tpu.models import pointcnn
+
+__all__ = ["init_params", "make_batch", "loss_fn", "make_train_step",
+           "param_sharding", "train"]
+
+# torch-style param shapes for a fresh (untrained) PointCNN
+_STAGES = [("encoder.conv1", 16, 6, 32), ("encoder.conv2", 20, 32, 64),
+           ("encoder.conv3", 20, 64, 128), ("encoder.conv4", 20, 128, 256),
+           ("decoder.conv1", 20, 256, 128), ("decoder.conv2", 20, 128, 64),
+           ("decoder.conv3", 20, 64, 32)]
+
+# leaves wide enough to be worth tensor-sharding (output-dim partition)
+_TP_SUFFIXES = ("mlp2.0.weight", "mlp2.0.bias", "conv.2.weight", "conv.2.bias")
+
+
+def init_params(key) -> dict:
+    """Glorot-ish init with the exact checkpoint key layout/shapes."""
+    params = {}
+
+    def linear(key, prefix, fin, fout):
+        k1, _ = jax.random.split(key)
+        lim = jnp.sqrt(6.0 / (fin + fout))
+        params[f"{prefix}.weight"] = jax.random.uniform(k1, (fout, fin),
+                                                        jnp.float32, -lim, lim)
+        params[f"{prefix}.bias"] = jnp.zeros((fout,), jnp.float32)
+
+    def conv1d(key, prefix, cout, cin_per_group, k):
+        k1, _ = jax.random.split(key)
+        lim = jnp.sqrt(6.0 / (cin_per_group * k + cout))
+        params[f"{prefix}.weight"] = jax.random.uniform(
+            k1, (cout, cin_per_group, k), jnp.float32, -lim, lim)
+        params[f"{prefix}.bias"] = jnp.zeros((cout,), jnp.float32)
+
+    for prefix, K, C_in, C_out in _STAGES:
+        cd = max(1, C_in // 4)
+        dm = -(-C_out // C_in)
+        key, *ks = jax.random.split(key, 6)
+        linear(ks[0], f"{prefix}.mlp1.0", 3, cd)
+        linear(ks[1], f"{prefix}.mlp1.3", cd, cd)
+        linear(ks[2], f"{prefix}.mlp2.0", 3 * K, K * K)
+        conv1d(ks[3], f"{prefix}.mlp2.4", K * K, 1, K)
+        conv1d(ks[4], f"{prefix}.mlp2.8", K * K, 1, K)
+        key, k1, k2 = jax.random.split(key, 3)
+        conv1d(k1, f"{prefix}.conv.0", C_in * dm, 1, K)
+        linear(k2, f"{prefix}.conv.2", C_in * dm, C_out)
+    key, k1 = jax.random.split(key)
+    lim = jnp.sqrt(6.0 / 34)
+    params["decoder.lin4.weight"] = jax.random.uniform(k1, (2, 32), jnp.float32,
+                                                       -lim, lim)
+    params["decoder.lin4.bias"] = jnp.zeros((2,), jnp.float32)
+    return params
+
+
+def make_batch(key, batch: int, n_points: int, flip_frac: float = 0.4):
+    """Synthetic training batch: noisy sphere-cap patches with a random
+    subset of normals flipped. Returns (pc (B,N,6), labels (B,N) int32
+    {1 keep, 0 flip}, valid (B,N))."""
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    pcs = np.empty((batch, n_points, 6), np.float32)
+    labels = np.empty((batch, n_points), np.int32)
+    for b in range(batch):
+        center = rng.normal(size=3)
+        center /= np.linalg.norm(center)
+        v = rng.normal(size=(n_points, 3)) * 0.35 + center
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = v + rng.normal(scale=0.01, size=(n_points, 3))
+        nrm = v.copy()
+        flip = rng.random(n_points) < flip_frac
+        nrm[flip] *= -1
+        pcs[b, :, :3] = pts
+        pcs[b, :, 3:] = nrm
+        labels[b] = (~flip).astype(np.int32)
+    valid = np.ones((batch, n_points), bool)
+    return jnp.asarray(pcs), jnp.asarray(labels), jnp.asarray(valid)
+
+
+def loss_fn(params, pc, labels, valid, keys, pool, m1: int, m2: int):
+    logits = jax.vmap(
+        lambda c, v, k: pointcnn._forward(params, c, v, k, pool, m1, m2)
+    )(pc, valid, keys)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = valid.astype(jnp.float32)
+    loss = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+    acc = (((logits.argmax(-1) == labels) & valid).sum()
+           / jnp.maximum(w.sum(), 1.0))
+    return loss, acc
+
+
+def param_sharding(mesh: Mesh, params: dict):
+    """NamedShardings: TP on the wide matrices' output dim, replicate the
+    rest."""
+    out = {}
+    has_model = "model" in mesh.axis_names and mesh.shape["model"] > 1
+    for k, v in params.items():
+        if has_model and k.endswith(_TP_SUFFIXES) and v.shape[0] % mesh.shape["model"] == 0:
+            spec = P("model") if v.ndim == 1 else P("model", *([None] * (v.ndim - 1)))
+        else:
+            spec = P()
+        out[k] = NamedSharding(mesh, spec)
+    return out
+
+
+def make_train_step(mesh: Mesh, pool: float, m1: int, m2: int,
+                    learning_rate: float = 1e-3):
+    """Build (opt, jitted train_step) with DP batch sharding + TP params."""
+    opt = optax.adamw(learning_rate)
+
+    def step(params, opt_state, pc, labels, valid, keys):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, pc, labels, valid, keys, jnp.float32(pool), m1, m2
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
+    data_sh = NamedSharding(mesh, P("data"))
+    jitted = jax.jit(
+        step,
+        in_shardings=(None, None, data_sh, data_sh, data_sh, data_sh),
+        static_argnums=(),
+    )
+    return opt, jitted
+
+
+def train(steps: int = 20, batch: int = 8, n_points: int = 128,
+          pool: float = 0.6, mesh: Mesh | None = None, seed: int = 0,
+          learning_rate: float = 1e-3, verbose: bool = True):
+    """Train a fresh PointCNN on synthetic flips; returns (params, history)."""
+    from dipole_tpu.parallel.sharding import make_mesh
+
+    if mesh is None:
+        devs = jax.devices()
+        mesh = Mesh(np.array(devs).reshape(len(devs), 1), ("data", "model"))
+    key = jax.random.PRNGKey(seed)
+    key, pk = jax.random.split(key)
+    params = init_params(pk)
+    shardings = param_sharding(mesh, params)
+    params = {k: jax.device_put(v, shardings[k]) for k, v in params.items()}
+    m1 = int(-(-n_points * pool // 1))
+    m2 = int(-(-m1 * pool // 1))
+    opt, step_fn = make_train_step(mesh, pool, m1, m2, learning_rate)
+    opt_state = opt.init(params)
+    history = []
+    for i in range(steps):
+        key, bk, fk = jax.random.split(key, 3)
+        pc, labels, valid = make_batch(bk, batch, n_points)
+        keys = jax.random.split(fk, batch)
+        params, opt_state, loss, acc = step_fn(params, opt_state, pc, labels,
+                                               valid, keys)
+        history.append((float(loss), float(acc)))
+        if verbose:
+            print(f"step {i}: loss {float(loss):.4f} acc {float(acc):.4f}")
+    return params, history

@@ -1,0 +1,99 @@
+"""Server tests: real TCP round-trips against a live server thread."""
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from dipole_tpu.serve import protocol
+from dipole_tpu.serve.server_para import AdmissionControl, Server
+from tests.conftest import make_sphere
+
+
+@pytest.fixture(scope="module")
+def live_server():
+    server = Server(host="127.0.0.1", port=0)
+    # bind to an ephemeral port manually for the test
+    sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    server.port = port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    time.sleep(0.5)
+    yield "127.0.0.1", port
+    server.stop()
+
+
+def test_simple_estimate_roundtrip(live_server):
+    host, port = live_server
+    # scaled inside the 0.1 hybrid-search radius (the estimator's fixed
+    # radius is in raw input units, as in the reference)
+    xyz = make_sphere(120, seed=0)[:, :3].astype(np.float64) * 0.05
+    out = protocol.request(host, port, "simple_estimate", xyz,
+                           {"diffuse": True})
+    assert out.shape == (120, 6)
+    np.testing.assert_allclose(out[:, :3], xyz, atol=1e-6)
+    norms = np.linalg.norm(out[:, 3:], axis=1)
+    assert (norms > 0.5).all()
+    # orientation consistency: outward agreement (sphere)
+    v = xyz / np.linalg.norm(xyz, axis=1, keepdims=True)
+    agree = ((out[:, 3:] * v).sum(1) > 0).mean()
+    assert max(agree, 1 - agree) > 0.95
+
+
+def test_degenerate_input_returns_dummy_normals(live_server):
+    host, port = live_server
+    xyz = np.random.default_rng(0).normal(size=(5, 3))
+    out = protocol.request(host, port, "tree_xie_propagation", xyz,
+                           {"max_nn": 10, "eps": 0.01, "diffuse": True,
+                            "times": 3, "knn_mask": -1, "C": 3})
+    assert out.shape == (5, 6)
+    np.testing.assert_allclose(out[:, 3:], 1.0)  # dummy normals path
+
+
+def test_unknown_function_errors(live_server):
+    host, port = live_server
+    xyz = np.zeros((4, 3))
+    with pytest.raises(RuntimeError):
+        protocol.request(host, port, "no_such_method", xyz, {})
+
+
+def test_hoppe_estimate_roundtrip(live_server):
+    host, port = live_server
+    xyz = make_sphere(150, seed=1)[:, :3].astype(np.float64)
+    out = protocol.request(host, port, "hoppe_estimate", xyz,
+                           {"k_neighbor": 10, "r": 1.0})
+    assert out.shape == (150, 6)
+    v = xyz / np.linalg.norm(xyz, axis=1, keepdims=True)
+    agree = ((out[:, 3:] * v).sum(1) > 0).mean()
+    assert max(agree, 1 - agree) > 0.95
+
+
+def test_admission_control_rejects_oversized():
+    ac = AdmissionControl(max_pts=100)
+    with pytest.raises(ValueError):
+        ac.acquire(11)  # 121 > 100
+    ac.acquire(10)
+    ac.release(10)
+    assert ac.res_pts == 100
+
+
+def test_admission_control_queues():
+    ac = AdmissionControl(max_pts=100, poll_s=0.05)
+    ac.acquire(10)
+    done = []
+
+    def second():
+        ac.acquire(10)
+        done.append(True)
+
+    t = threading.Thread(target=second)
+    t.start()
+    time.sleep(0.15)
+    assert not done  # still queued
+    ac.release(10)
+    t.join(timeout=2)
+    assert done
