@@ -152,14 +152,30 @@ def _potential_padded(src: jnp.ndarray, tgt: jnp.ndarray):
     return jnp.where(jnp.isfinite(phi), phi, 0.0)
 
 
+def _use_pallas(n_sources: int) -> bool:
+    import os
+
+    if os.environ.get("DIPOLE_TPU_NO_PALLAS"):
+        return False
+    from dipole_tpu.ops import fields_pallas
+
+    return fields_pallas.available() and n_sources <= fields_pallas.MAX_PALLAS_SOURCES
+
+
 def field_grad(sources, targets, eps: float = 1e-5) -> jnp.ndarray:
     """Dipole field E at `targets` from dipole `sources` (N_t, 3).
 
     sources: (M, 6) position+moment. targets: (N, >=3), positions used.
     Equivalent math to reference field_utils.field_grad (:61-116) including
     zero-distance masking and inf/nan scrubbing; tiling replaces recursion.
-    """
+    On TPU this dispatches to the Pallas VMEM-tiled kernel
+    (ops/fields_pallas.py); the XLA-blocked path is the CPU/large-source
+    fallback."""
     n = np.shape(targets)[0]
+    if _use_pallas(np.shape(sources)[0]):
+        from dipole_tpu.ops.fields_pallas import field_grad_pallas
+
+        return field_grad_pallas(sources, targets, eps)
     src = _prep_sources(sources)
     tgt = _prep_targets(targets)
     return _field_grad_padded(src, tgt, jnp.float32(eps))[:n]
@@ -168,6 +184,10 @@ def field_grad(sources, targets, eps: float = 1e-5) -> jnp.ndarray:
 def potential(sources, targets, eps: float = 1e-5) -> jnp.ndarray:
     """Dipole potential phi at targets (reference field_utils.py:12-55)."""
     n = np.shape(targets)[0]
+    if _use_pallas(np.shape(sources)[0]):
+        from dipole_tpu.ops.fields_pallas import potential_pallas
+
+        return potential_pallas(sources, targets)
     src = _prep_sources(sources)
     tgt = _prep_targets(targets)
     return _potential_padded(src, tgt)[:n]

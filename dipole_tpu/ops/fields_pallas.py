@@ -1,0 +1,190 @@
+"""Pallas TPU kernels for the pairwise dipole field/potential.
+
+The XLA-blocked implementation in ops/fields.py materializes (T, S, 3) pair
+tiles through HBM; these kernels keep everything in VMEM with a
+structure-of-arrays layout: clouds are passed as (8, N) channel-major
+arrays (rows x, y, z[, px, py, pz], zero-padded to the 8-sublane tile) so
+the point axis rides the 128-wide lanes.
+
+Channel-major is extremely compact — 32 bytes/point — so the *entire source
+cloud* fits in VMEM up to ~300k points. Each grid step owns one target block
+and streams source chunks with an in-register accumulator (flash-attention
+style) via a fori_loop; the output block is written exactly once. (An
+output-revisiting 2D grid formulation hits a backend FailedPrecondition on
+this TPU runtime, hence the 1D grid + inner loop.)
+
+Sources beyond the VMEM budget fall back to the XLA-blocked implementation
+at the dispatch layer (ops/fields.py), which remains the reference semantics.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["field_grad_pallas", "potential_pallas", "available",
+           "MAX_PALLAS_SOURCES"]
+
+T_BLK = 256
+S_BLK = 512
+_SENTINEL = 1.0e6
+# (8, N) f32 source panel must fit comfortably in ~16 MB VMEM next to the
+# pair-tile intermediates (~4 MB)
+MAX_PALLAS_SOURCES = 262144
+
+
+def available() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _pair_terms(tt, s_chunk, eps):
+    """Shared per-chunk pair math. tt (T_BLK, 8) target slice, s_chunk
+    (8, S_BLK). Returns (ex, ey, ez) partial field sums, (T_BLK, 1) each."""
+    tx, ty, tz = tt[:, 0:1], tt[:, 1:2], tt[:, 2:3]
+    sx, sy, sz = s_chunk[0:1, :], s_chunk[1:2, :], s_chunk[2:3, :]
+    px, py, pz = s_chunk[3:4, :], s_chunk[4:5, :], s_chunk[5:6, :]
+    Rx = sx - tx
+    Ry = sy - ty
+    Rz = sz - tz
+    r2 = Rx * Rx + Ry * Ry + Rz * Rz
+    zero = r2 == 0.0
+    r = jnp.sqrt(r2)
+    denom = r * r2 + eps
+    c = px * Rx + py * Ry + pz * Rz
+    safe_r2 = jnp.where(zero, 1.0, r2)
+    a = jnp.where(zero, 0.0, 3.0 * c / (safe_r2 * denom))
+    b = jnp.where(zero, 0.0, 1.0 / denom)
+    # E = -(sum a*R - sum b*p)  ->  acc = sum (b*p - a*R)
+    ex = jnp.sum(b * px - a * Rx, axis=1, keepdims=True)
+    ey = jnp.sum(b * py - a * Ry, axis=1, keepdims=True)
+    ez = jnp.sum(b * pz - a * Rz, axis=1, keepdims=True)
+    return ex, ey, ez
+
+
+def _field_kernel(t_ref, s_ref, eps_ref, o_ref):
+    eps = eps_ref[0, 0]
+    tt = jnp.transpose(t_ref[:])                 # (T_BLK, 8)
+    n_chunks = s_ref.shape[1] // S_BLK
+
+    def body(j, acc):
+        off = pl.multiple_of(j * S_BLK, S_BLK)
+        sc = s_ref[:, pl.ds(off, S_BLK)]
+        ex, ey, ez = _pair_terms(tt, sc, eps)
+        return acc + jnp.concatenate(
+            [ex, ey, ez, jnp.zeros((ex.shape[0], 5), jnp.float32)], axis=1
+        )
+
+    acc = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((t_ref.shape[1], 8), jnp.float32)
+    )
+    o_ref[:] = jnp.transpose(acc)
+
+
+def _potential_kernel(t_ref, s_ref, o_ref):
+    tt = jnp.transpose(t_ref[:])
+    tx, ty, tz = tt[:, 0:1], tt[:, 1:2], tt[:, 2:3]
+    n_chunks = s_ref.shape[1] // S_BLK
+
+    def body(j, acc):
+        off = pl.multiple_of(j * S_BLK, S_BLK)
+        sc = s_ref[:, pl.ds(off, S_BLK)]
+        sx, sy, sz = sc[0:1, :], sc[1:2, :], sc[2:3, :]
+        px, py, pz = sc[3:4, :], sc[4:5, :], sc[5:6, :]
+        Rx = sx - tx
+        Ry = sy - ty
+        Rz = sz - tz
+        r2 = Rx * Rx + Ry * Ry + Rz * Rz
+        r3 = r2 * jnp.sqrt(r2)
+        c = px * Rx + py * Ry + pz * Rz
+        return acc + jnp.sum(c / r3, axis=1, keepdims=True)
+
+    acc = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((t_ref.shape[1], 1), jnp.float32)
+    )
+    out = jnp.concatenate(
+        [acc, jnp.zeros((acc.shape[0], 7), jnp.float32)], axis=1
+    )
+    o_ref[:] = jnp.transpose(out)
+
+
+@partial(jax.jit, static_argnames=())
+def _field_pallas_padded(src8: jnp.ndarray, tgt8: jnp.ndarray, eps: jnp.ndarray):
+    nT = tgt8.shape[1] // T_BLK
+    return pl.pallas_call(
+        _field_kernel,
+        grid=(nT,),
+        in_specs=[
+            pl.BlockSpec((8, T_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((8, T_BLK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, tgt8.shape[1]), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=25 * tgt8.shape[1] * src8.shape[1],
+            bytes_accessed=(tgt8.size * 2 + src8.size * nT) * 4,
+            transcendentals=tgt8.shape[1] * src8.shape[1],
+        ),
+    )(tgt8, src8, eps)
+
+
+@partial(jax.jit, static_argnames=())
+def _potential_pallas_padded(src8: jnp.ndarray, tgt8: jnp.ndarray):
+    nT = tgt8.shape[1] // T_BLK
+    return pl.pallas_call(
+        _potential_kernel,
+        grid=(nT,),
+        in_specs=[
+            pl.BlockSpec((8, T_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, T_BLK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, tgt8.shape[1]), jnp.float32),
+    )(tgt8, src8)
+
+
+def _to_channel_major(arr: np.ndarray, n_pad: int, sentinel_pos: bool) -> np.ndarray:
+    """(N, C) float32 -> (8, n_pad) channel-major with sentinel/zero padding."""
+    n, c = arr.shape
+    out = np.zeros((8, n_pad), dtype=np.float32)
+    out[:c, :n] = arr.T
+    if sentinel_pos and n_pad > n:
+        out[:3, n:] = _SENTINEL
+    return out
+
+
+def field_grad_pallas(sources, targets, eps: float = 1e-5) -> jnp.ndarray:
+    """Drop-in for ops.fields.field_grad on TPU (same math + scrubbing)."""
+    src = np.asarray(sources, np.float32)
+    tgt = np.asarray(targets, np.float32)[:, :3]
+    n = len(tgt)
+    sp = -((-len(src)) // S_BLK) * S_BLK
+    tp = -((-n) // T_BLK) * T_BLK
+    src8 = _to_channel_major(src[:, :6], sp, sentinel_pos=True)
+    tgt8 = _to_channel_major(tgt, tp, sentinel_pos=True)
+    out = _field_pallas_padded(jnp.asarray(src8), jnp.asarray(tgt8),
+                               jnp.full((1, 1), eps, jnp.float32))
+    E = jnp.transpose(out[:3, :n])
+    return jnp.where(jnp.isfinite(E), E, 0.0)
+
+
+def potential_pallas(sources, targets) -> jnp.ndarray:
+    src = np.asarray(sources, np.float32)
+    tgt = np.asarray(targets, np.float32)[:, :3]
+    n = len(tgt)
+    sp = -((-len(src)) // S_BLK) * S_BLK
+    tp = -((-n) // T_BLK) * T_BLK
+    src8 = _to_channel_major(src[:, :6], sp, sentinel_pos=True)
+    tgt8 = _to_channel_major(tgt, tp, sentinel_pos=True)
+    out = _potential_pallas_padded(jnp.asarray(src8), jnp.asarray(tgt8))
+    phi = out[0, :n]
+    return jnp.where(jnp.isfinite(phi), phi, 0.0)

@@ -1,0 +1,49 @@
+"""Pallas kernel equivalence (interpret mode on CPU) + dispatch gating."""
+import numpy as np
+import pytest
+
+import jax
+from jax.experimental.pallas import tpu as pltpu
+
+from dipole_tpu.ops import fields
+from dipole_tpu.ops import fields_pallas as fp
+
+
+def random_cloud(n, seed=0):
+    r = np.random.default_rng(seed)
+    pc = r.normal(size=(n, 6)).astype(np.float32)
+    pc[:, 3:] /= np.linalg.norm(pc[:, 3:], axis=1, keepdims=True)
+    return pc
+
+
+def test_pallas_field_matches_xla_interpret():
+    src = random_cloud(600, 1)
+    tgt = random_cloud(300, 2)
+    with pltpu.force_tpu_interpret_mode():
+        Ep = np.asarray(fp.field_grad_pallas(src, tgt))
+    Ex = np.asarray(fields.field_grad(src, tgt))
+    np.testing.assert_allclose(Ep, Ex, rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_potential_matches_xla_interpret():
+    src = random_cloud(600, 3)
+    tgt = random_cloud(300, 4)
+    with pltpu.force_tpu_interpret_mode():
+        pp = np.asarray(fp.potential_pallas(src, tgt))
+    px = np.asarray(fields.potential(src, tgt))
+    np.testing.assert_allclose(pp, px, rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_zero_distance_masked_interpret():
+    pc = random_cloud(300, 5)
+    with pltpu.force_tpu_interpret_mode():
+        E = np.asarray(fp.field_grad_pallas(pc, pc))
+    assert np.isfinite(E).all()
+    E_other = np.asarray(fields.field_grad(pc[1:], pc[:1]))
+    np.testing.assert_allclose(E[:1], E_other, rtol=1e-3, atol=1e-3)
+
+
+def test_dispatch_gating_cpu():
+    # on the CPU test platform the pallas path must not be selected
+    assert not fp.available()
+    assert not fields._use_pallas(100)
