@@ -14,7 +14,7 @@ import numpy as np
 from dipole_tpu.ops import fields, propagate
 from dipole_tpu.ops.estimate import estimate_normals
 from dipole_tpu.ops.patching import divide_pc, fix_n_filter
-from dipole_tpu.models.inference import ensemble_vote, load_model_from_file
+from dipole_tpu.models.inference import ensemble_vote_patches, load_model_from_file
 from dipole_tpu.utils import config
 from dipole_tpu.utils.io import Transform, export_pc, load_xyz, orient_center_np
 from dipole_tpu.utils.timing import timer_factory
@@ -65,11 +65,15 @@ def run(opts):
     key = jax.random.PRNGKey(1)
 
     with MyTimer("network orientation"):
-        for i, _ in patch_indices:
-            reps, _rest = represent[i]
-            for _ in range(opts.iters):
-                key, sub = jax.random.split(key)
-                flip, probs = ensemble_vote(models, input_pc[reps], key=sub)
+        rep_sets = [represent[i][0] for i, _ in patch_indices]
+        # the reference runs opts.iters sequential re-votes per patch; the
+        # patches are independent, so each round is one batched ensemble pass
+        for _ in range(opts.iters):
+            key, sub = jax.random.split(key)
+            votes = ensemble_vote_patches(
+                models, [input_pc[r] for r in rep_sets], key=sub
+            )
+            for reps, (flip, probs) in zip(rep_sets, votes):
                 pc_probs[reps] = probs
                 input_pc[reps[flip], 3:6] *= -1
 

@@ -14,7 +14,7 @@ import numpy as np
 from dipole_tpu.ops import fields, propagate
 from dipole_tpu.ops.estimate import estimate_normals
 from dipole_tpu.ops.patching import divide_pc, fix_n_filter
-from dipole_tpu.models.inference import ensemble_vote, load_model_from_file
+from dipole_tpu.models.inference import ensemble_vote_patches, load_model_from_file
 from dipole_tpu.utils import config
 from dipole_tpu.utils.io import Transform, export_pc, load_xyz, orient_center_np
 from dipole_tpu.utils.timing import timer_factory
@@ -59,9 +59,14 @@ def run(opts):
 
     for it in range(opts.iters):
         with MyTimer(f"iteration {it}"):
-            for _, pidx in patch_indices:
-                key, sub = jax.random.split(key)
-                flip, probs = ensemble_vote(models, input_pc[pidx], key=sub)
+            # one batched ensemble pass over all filtered patches (each
+            # forward reads only its own patch, so this is exactly the
+            # reference's sequential per-patch loop)
+            key, sub = jax.random.split(key)
+            votes = ensemble_vote_patches(
+                models, [input_pc[pidx] for _, pidx in patch_indices], key=sub
+            )
+            for (_, pidx), (flip, probs) in zip(patch_indices, votes):
                 probs = probs.copy()
                 probs[flip] = 1 - probs[flip]
                 pc_probs[pidx] = probs

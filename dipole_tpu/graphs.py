@@ -130,23 +130,52 @@ class LinkedListGraph:
         return res
 
 
+class CSRGraph:
+    """Compressed adjacency graph with native BFS routes — the scalable
+    counterpart of LinkedListGraph for point-level graphs (100k+ nodes)."""
+
+    def __init__(self, indptr: np.ndarray, indices: np.ndarray,
+                 weights: np.ndarray | None = None):
+        self.indptr = np.asarray(indptr, np.int64)
+        self.indices = np.asarray(indices, np.int32)
+        self.weights = weights
+        self.node_num = len(self.indptr) - 1
+
+    def get_bfs_route(self, start: int) -> np.ndarray:
+        from dipole_tpu import native
+
+        route, components = native.bfs_route_csr(self.indptr, self.indices, start)
+        if components != 1:
+            print(f"bfs warning::unit= {components}")
+        return route
+
+    def get_weighted_bfs_route(self, start: int) -> np.ndarray:
+        G = LinkedListGraph(self.node_num)
+        for u in range(self.node_num):
+            for j in range(self.indptr[u], self.indptr[u + 1]):
+                w = float(self.weights[j]) if self.weights is not None else 0.0
+                G.add_edge(u, int(self.indices[j]), w)
+        return G.get_weighted_bfs_route(start)
+
+
 def emst_from_pc(xyz: np.ndarray, k: int = 10, threshold: float = 0.1):
     """Thresholded kNN graph ('EMST' in the reference's naming,
-    graph.py:380-392). Returns (LinkedListGraph, mean kNN distance per point)."""
-    xyz = np.asarray(xyz, dtype=np.float64)
+    graph.py:380-392), built with the native KD-tree into CSR form.
+    Returns (CSRGraph, mean kNN distance per point)."""
+    from dipole_tpu import native
+
+    xyz = np.asarray(xyz, dtype=np.float32)[:, :3]
     n = len(xyz)
-    tree = cKDTree(xyz)
     kk = min(k, n)
-    dist, idx = tree.query(xyz, k=kk)
-    if kk == 1:
-        dist, idx = dist[:, None], idx[:, None]
-    G = LinkedListGraph(n)
-    for i in range(n):
-        for j in range(kk):
-            v = int(idx[i, j])
-            if v != i and dist[i, j] < threshold:
-                G.add_edge(i, v, float(dist[i, j]))
-    return G, dist.mean(axis=1)
+    idx, d2 = native.knn(xyz, xyz, kk)
+    dist = np.sqrt(d2.astype(np.float64))
+    keep = (idx != np.arange(n)[:, None]) & (dist < threshold)
+    counts = keep.sum(axis=1)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    indices = idx[keep].astype(np.int32)
+    weights = dist[keep].astype(np.float32)
+    return CSRGraph(indptr, indices, weights), dist.mean(axis=1)
 
 
 def hoppe_dist(x, y):
@@ -288,17 +317,16 @@ def orient_normals_hoppe(pc: np.ndarray, k: int = 10) -> np.ndarray:
     orient_normals_consistent_tangent_plane (socket_server.py:40-60):
     MST over the kNN graph with 1 - |n_i . n_j| weights, oriented by
     depth-first propagation from the max-z point (normal forced to +z)."""
+    from dipole_tpu import native
+
     pc = np.array(pc, dtype=np.float32, copy=True)
     n = len(pc)
     if n == 0:
         return pc
     xyz = pc[:, :3].astype(np.float64)
     nrm = pc[:, 3:6].astype(np.float64)
-    tree_q = cKDTree(xyz)
     kk = min(k + 1, n)
-    _, idx = tree_q.query(xyz, k=kk)
-    if kk == 1:
-        idx = idx[:, None]
+    idx, _ = native.knn(pc[:, :3], pc[:, :3], kk)
     edges = []
     seen = set()
     for i in range(n):

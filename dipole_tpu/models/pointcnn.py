@@ -229,6 +229,41 @@ def _bucket(n: int, base: int = 128) -> int:
     return b
 
 
+@partial(jax.jit, static_argnames=("m1", "m2"))
+def _forward_batched(p, pc, valid, keys, pool, m1: int, m2: int):
+    return jax.vmap(
+        lambda c, v, k: _forward(p, c, v, k, pool, m1, m2)
+    )(pc, valid, keys)
+
+
+def pointcnn_logits_batched(params, pool: float, patches, key=None,
+                            bucket=None) -> list:
+    """Run the forward over many ragged patches with few compiled programs:
+    patches are padded to a shared power-of-two bucket and vmapped; the batch
+    axis is padded to a power of two. Returns a list of (n_i, 2) arrays."""
+    patches = [np.asarray(p, np.float32) for p in patches]
+    if not patches:
+        return []
+    nb = bucket or _bucket(max(len(p) for p in patches))
+    B = len(patches)
+    Bp = _bucket(B, base=8)
+    pc = np.zeros((Bp, nb, 6), np.float32)
+    valid = np.zeros((Bp, nb), bool)
+    for i, p in enumerate(patches):
+        pc[i, : len(p)] = p
+        valid[i, : len(p)] = True
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, Bp)
+    m1 = int(-(-nb * pool // 1))
+    m2 = int(-(-m1 * pool // 1))
+    out = np.asarray(
+        _forward_batched(params, jnp.asarray(pc), jnp.asarray(valid), keys,
+                         jnp.float32(pool), m1, m2)
+    )
+    return [out[i, : len(p)] for i, p in enumerate(patches)]
+
+
 def pointcnn_logits(params, pool: float, patch, key=None, bucket=None) -> np.ndarray:
     patch = np.asarray(patch, dtype=np.float32)
     n = patch.shape[0]

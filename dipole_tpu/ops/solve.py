@@ -127,8 +127,19 @@ def solve_flip_assignment(A, B, minimize: bool, exact_limit: int = 20,
     best_x, best_v = None, None
     inits = [_greedy_tree_init(M, minimize), np.zeros(n)]
     inits += [rng.integers(0, 2, n).astype(np.float64) for _ in range(restarts)]
+    try:
+        from dipole_tpu import native
+        use_native = native.available()
+    except Exception:
+        use_native = False
     for x0 in inits:
-        x = _local_search(M, const, minimize, x0)
+        if use_native:
+            from dipole_tpu import native
+
+            x = native.flip_local_search(M, x0.astype(np.uint8), minimize)
+            x = x.astype(np.float64)
+        else:
+            x = _local_search(M, const, minimize, x0)
         v = cal_loss(x, A, B)
         better = best_v is None or (v < best_v if minimize else v > best_v)
         if better:

@@ -198,11 +198,12 @@ def bitree_cluster(xyz: np.ndarray, k_neighbors: int, minimum_rate: float) -> np
 
 def avg_min_dist(xyz: np.ndarray, k: int) -> float:
     """Median of the k-th nearest-neighbor distance (reference util.py:255-263)."""
-    xyz = np.asarray(xyz, dtype=np.float64)[:, :3]
-    tree = cKDTree(xyz)
+    from dipole_tpu import native
+
+    xyz = np.asarray(xyz, dtype=np.float32)[:, :3]
     kk = min(k + 1, len(xyz))
-    dist, _ = tree.query(xyz, k=kk)
-    return float(np.median(dist[:, -1]))
+    _, d2 = native.knn(xyz, xyz, kk)
+    return float(np.median(np.sqrt(d2[:, -1])))
 
 
 def if_pc_neighbor(pc1, pc2, threshold: float) -> bool:

@@ -1,0 +1,202 @@
+"""Field / graph visualization exports (reference C43, SURVEY §2.1).
+
+Self-contained replacements for the reference's visualization helpers,
+writing .ply files (no Open3D/plotly/skimage dependency):
+  - draw_pc            (reference util.py:9-23)  cloud + normals (+labels)
+  - draw_field         (reference field_utils.py:472-501)  field vectors as
+                       normals on target points, colored target/source
+  - draw_topology      (reference util.py:346-395, graph.py:20-118)  patch
+                       graph as sphere/arrow triangle meshes
+  - field_cross_section (reference vis_field.py plot_F analog) samples the
+                       potential/field on a planar lattice and exports a
+                       colored cloud for external plotting
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from dipole_tpu.utils.io import write_ply
+
+__all__ = ["draw_pc", "draw_field", "draw_topology", "field_cross_section",
+           "sphere_mesh", "arrow_mesh", "write_triangle_mesh"]
+
+
+def draw_pc(pc, path, labels=None):
+    """Write a cloud (+normals) as .ply; optional per-point labels get a
+    random color per label (reference util.py:9-23)."""
+    pc = np.asarray(pc)
+    colors = None
+    if labels is not None:
+        labels = np.asarray(labels)
+        rng = np.random.default_rng(0)
+        palette = {lb: rng.random(3) for lb in np.unique(labels)}
+        colors = np.stack([palette[lb] for lb in labels])
+    normals = pc[:, 3:6] if pc.shape[1] >= 6 else None
+    write_ply(path, pc[:, :3], normals, colors)
+
+
+def draw_field(source, target, field_calculator, path, *args, **kwargs):
+    """Evaluate a field at target points and export targets (green, field as
+    normal) + sources (red) — reference field_utils.draw_field (:472-501)."""
+    source = np.asarray(source, np.float32)
+    target = np.asarray(target, np.float32)
+    field = np.asarray(field_calculator(source, target[:, :3], *args, **kwargs))
+    if field.ndim == 3:  # per-pair fields (xie): sum over sources
+        field = field.sum(axis=1)
+    pts = np.concatenate([target[:, :3], source[:, :3]], axis=0)
+    normals = np.concatenate(
+        [field, source[:, 3:6] if source.shape[1] >= 6 else np.zeros_like(source[:, :3])],
+        axis=0,
+    )
+    colors = np.zeros((len(pts), 3))
+    colors[: len(target), 1] = 1.0
+    colors[len(target):, 0] = 1.0
+    write_ply(path, pts, normals, colors)
+
+
+def sphere_mesh(center, radius=0.008, n=10, m=10):
+    """Lat-long sphere triangle mesh (reference graph.py:102-118)."""
+    verts, faces = [], []
+    for i in range(n):
+        for j in range(m):
+            theta = 2 * np.pi * i / n
+            phi = np.pi * j / m
+            verts.append(center + radius * np.array([
+                np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta),
+                np.cos(phi)]))
+    for i in range(n):
+        for j in range(m):
+            a = i * m + j
+            b = i * m + (j + 1) % m
+            c = ((i + 1) % n) * m + j
+            d = ((i + 1) % n) * m + (j + 1) % m
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    return np.asarray(verts), np.asarray(faces)
+
+
+def arrow_mesh(start, end, radius=0.001, n=10):
+    """Cylinder+cone arrow mesh (reference graph.py:46-91)."""
+    start = np.asarray(start, np.float64)
+    end = np.asarray(end, np.float64)
+    d = end - start
+    z = d / (np.linalg.norm(d) + 1e-12)
+    x = np.array([1.0, 0, 0])
+    if np.linalg.norm(x - z) < 0.01:
+        x = np.array([0, 1.0, 0])
+    y = np.cross(z, x)
+    y /= np.linalg.norm(y) + 1e-12
+    x = np.cross(y, z)
+    x /= np.linalg.norm(x) + 1e-12
+    end2 = start + d * 0.95
+    start2 = start + d * 0.05
+    cyl_end = start2 + (end2 - start2) * 0.9
+    verts, faces = [], []
+    for ring_c, r in [(start2, radius / 2), (cyl_end, radius / 2)]:
+        for i in range(n):
+            t = 2 * np.pi * i / n
+            verts.append(ring_c + r * (np.cos(t) * x + np.sin(t) * y))
+    for i in range(n):
+        faces.append([n + i, i, (i + 1) % n])
+        faces.append([n + i, (i + 1) % n, (i + 1) % n + n])
+    base = len(verts)
+    for i in range(n):
+        t = 2 * np.pi * i / n
+        verts.append(cyl_end + radius * (np.cos(t) * x + np.sin(t) * y))
+    verts.append(end2)
+    tip = len(verts) - 1
+    for i in range(n):
+        faces.append([tip, base + i, base + (i + 1) % n])
+    return np.asarray(verts), np.asarray(faces)
+
+
+def write_triangle_mesh(path, verts, faces, colors=None):
+    """Minimal binary PLY triangle mesh writer."""
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int32)
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {len(verts)}",
+              "property double x", "property double y", "property double z"]
+    if colors is not None:
+        colors = np.clip(np.asarray(colors) * 255, 0, 255).astype(np.uint8)
+        header += ["property uchar red", "property uchar green", "property uchar blue"]
+    header += [f"element face {len(faces)}",
+               "property list uchar int vertex_indices", "end_header"]
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        for i, v in enumerate(verts):
+            f.write(np.asarray(v, "<f8").tobytes())
+            if colors is not None:
+                f.write(colors[i].tobytes())
+        counts = np.full((len(faces), 1), 3, np.uint8)
+        for c, face in zip(counts, faces):
+            f.write(c.tobytes())
+            f.write(np.asarray(face, "<i4").tobytes())
+
+
+def draw_topology(G, pc, patches, nodelabel=None, edgelabel=None, path=None):
+    """Patch-graph topology as a colored sphere/arrow mesh (reference
+    util.draw_topology, util.py:346-395)."""
+    pc = np.asarray(pc)
+    nodelabel = list(nodelabel) if nodelabel is not None else [0] * len(G.V)
+    edgelabel = list(edgelabel) if edgelabel is not None else [0] * len(G.E)
+    rng = np.random.default_rng(0)
+    node_colors = {lb: rng.random(3) for lb in set(nodelabel)}
+    edge_colors = {lb: rng.random(3) for lb in set(edgelabel)}
+    if len(node_colors) == 2:
+        ks = sorted(node_colors)
+        node_colors = {ks[0]: np.array([1.0, 0, 0]), ks[1]: np.array([0, 1.0, 0])}
+    if len(edge_colors) == 2:
+        ks = sorted(edge_colors)
+        edge_colors = {ks[0]: np.array([1.0, 0, 0]), ks[1]: np.array([0, 1.0, 0])}
+
+    def center(v):
+        return pc[np.asarray(patches[v]), :3].mean(axis=0)
+
+    all_v, all_f, all_c = [], [], []
+
+    def add(verts, faces, color):
+        off = sum(len(v) for v in all_v)
+        all_v.append(verts)
+        all_f.append(faces + off)
+        all_c.append(np.tile(color, (len(verts), 1)))
+
+    for i in range(len(G.V)):
+        v, f = sphere_mesh(center(i))
+        add(v, f, node_colors[nodelabel[i]])
+    for i, e in enumerate(G.E):
+        v, f = arrow_mesh(center(e.u), center(e.v))
+        add(v, f, edge_colors[edgelabel[i]])
+    verts = np.concatenate(all_v)
+    faces = np.concatenate(all_f)
+    colors = np.concatenate(all_c)
+    if path is not None:
+        write_triangle_mesh(path, verts, faces, colors)
+    return verts, faces, colors
+
+
+def field_cross_section(pc, path, axis: int = 2, value: float = 0.0,
+                        n: int = 64, extent: float = 1.2, quantity="potential"):
+    """Sample the dipole potential (or |E|) on a planar lattice and export a
+    diverging-colored cloud — the exportable analog of vis_field.plot_F."""
+    from dipole_tpu.ops import fields
+
+    lin = np.linspace(-extent, extent, n)
+    a, b = np.meshgrid(lin, lin, indexing="ij")
+    grid = np.zeros((n * n, 3), np.float32)
+    other = [i for i in range(3) if i != axis]
+    grid[:, other[0]] = a.ravel()
+    grid[:, other[1]] = b.ravel()
+    grid[:, axis] = value
+    if quantity == "potential":
+        vals = np.asarray(fields.potential(pc, grid))
+    else:
+        vals = np.linalg.norm(np.asarray(fields.field_grad(pc, grid)), axis=-1)
+    v = np.tanh(vals / (np.abs(vals).mean() + 1e-9))
+    colors = np.zeros((len(grid), 3))
+    colors[:, 0] = np.clip(v, 0, 1)
+    colors[:, 2] = np.clip(-v, 0, 1)
+    write_ply(path, grid, None, colors)
+    return vals.reshape(n, n)

