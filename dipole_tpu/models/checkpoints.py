@@ -116,3 +116,141 @@ def load_model_opts(path) -> dict:
         if tokens[0] == "pool":
             opts["pool"] = float(tokens[1])
     return opts
+
+
+# ---------------------------------------------------------------------------
+# Torch-compatible writer (pure Python, no torch import): emits the pickle
+# opcode stream for an OrderedDict of _rebuild_tensor_v2 entries directly,
+# so checkpoints trained here load with torch.load as well as load_state_dict.
+# ---------------------------------------------------------------------------
+
+_REV_DTYPES = {
+    np.dtype("float32"): "FloatStorage",
+    np.dtype("float64"): "DoubleStorage",
+    np.dtype("float16"): "HalfStorage",
+    np.dtype("int64"): "LongStorage",
+    np.dtype("int32"): "IntStorage",
+    np.dtype("int16"): "ShortStorage",
+    np.dtype("int8"): "CharStorage",
+    np.dtype("uint8"): "ByteStorage",
+    np.dtype("bool"): "BoolStorage",
+}
+
+
+class _PickleWriter:
+    """Minimal protocol-2 pickle emitter for the checkpoint object graph."""
+
+    def __init__(self):
+        import struct
+
+        self._struct = struct
+        self.out = bytearray()
+        self.memo: dict = {}
+        self.out += b"\x80\x02"  # PROTO 2
+
+    def _put(self, key):
+        # memoize with LONG_BINPUT for simplicity
+        idx = len(self.memo)
+        self.memo[key] = idx
+        self.out += b"r" + self._struct.pack("<I", idx)
+
+    def global_(self, module: str, name: str):
+        key = ("global", module, name)
+        if key in self.memo:
+            self.out += b"j" + self._struct.pack("<I", self.memo[key])
+            return
+        self.out += b"c" + module.encode() + b"\n" + name.encode() + b"\n"
+        self._put(key)
+
+    def string(self, s: str):
+        b = s.encode("utf-8")
+        self.out += b"X" + self._struct.pack("<I", len(b)) + b
+
+    def int_(self, v: int):
+        self.out += b"J" + self._struct.pack("<i", v)
+
+    def bool_(self, v: bool):
+        self.out += b"\x88" if v else b"\x89"
+
+    def mark(self):
+        self.out += b"("
+
+    def tuple_(self):
+        self.out += b"t"
+
+    def empty_tuple(self):
+        self.out += b")"
+
+    def reduce(self):
+        self.out += b"R"
+
+    def binpersid(self):
+        self.out += b"Q"
+
+    def stop(self):
+        self.out += b"."
+
+
+def save_state_dict(state_dict, path) -> None:
+    """Write a torch-zip-format .pt checkpoint from numpy arrays.
+
+    The output loads with both load_state_dict (this module) and torch.load.
+    Arrays are written contiguous; keys preserve insertion order."""
+    import zipfile
+
+    path = Path(path)
+    stem = path.stem
+    w = _PickleWriter()
+    storages: list[tuple[str, np.ndarray]] = []
+
+    # OrderedDict([(k, tensor), ...]) via REDUCE
+    w.global_("collections", "OrderedDict")
+    w.mark()          # args tuple for OrderedDict
+    w.mark()          # the list of pairs -> use a tuple of pairs (accepted)
+    for key, arr in state_dict.items():
+        arr = np.ascontiguousarray(np.asarray(arr))
+        if arr.dtype not in _REV_DTYPES:
+            raise ValueError(f"unsupported dtype {arr.dtype} for {key}")
+        storage_key = str(len(storages))
+        storages.append((storage_key, arr))
+        w.mark()      # (key, tensor)
+        w.string(key)
+        # tensor = _rebuild_tensor_v2(storage, 0, size, stride, False, OrderedDict())
+        w.global_("torch._utils", "_rebuild_tensor_v2")
+        w.mark()
+        # persistent id tuple ('storage', Type, key, 'cpu', numel)
+        w.mark()
+        w.string("storage")
+        w.global_("torch", _REV_DTYPES[arr.dtype])
+        w.string(storage_key)
+        w.string("cpu")
+        w.int_(arr.size)
+        w.tuple_()
+        w.binpersid()
+        w.int_(0)
+        w.mark()
+        for s in arr.shape:
+            w.int_(int(s))
+        w.tuple_()
+        w.mark()
+        stride = [st // arr.itemsize for st in arr.strides]
+        for s in stride:
+            w.int_(int(s))
+        w.tuple_()
+        w.bool_(False)
+        w.global_("collections", "OrderedDict")
+        w.empty_tuple()
+        w.reduce()
+        w.tuple_()
+        w.reduce()
+        w.tuple_()    # close (key, tensor)
+    w.tuple_()        # close the pairs tuple
+    w.tuple_()        # close OrderedDict args: (pairs,)
+    w.reduce()
+    w.stop()
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr(f"{stem}/data.pkl", bytes(w.out))
+        for key, arr in storages:
+            zf.writestr(f"{stem}/data/{key}", arr.tobytes())
+        zf.writestr(f"{stem}/version", "3\n")

@@ -421,3 +421,13 @@ def random_self_interaction(nxyz, eps: float = 1e-5, rng: np.random.Generator | 
     nxyz[flip, 3:] *= -1
     w, _ = field_edge_calculator(nxyz, nxyz)
     return w
+
+
+def xie_distance(sources, targets) -> jnp.ndarray:
+    """Per-target sum over sources of |n_s elementwise* R| (reference
+    field_utils.py:522-526)."""
+    src = jnp.asarray(sources, jnp.float32)
+    tgt = jnp.asarray(targets, jnp.float32)
+    R = src[None, :, :3] - tgt[:, None, :3]
+    prod = src[None, :, 3:6] * R
+    return jnp.linalg.norm(prod, axis=-1).sum(axis=-1)

@@ -13,7 +13,6 @@ The missing `toolbox.bitree_cluster_plus` the reference imports
 spectral bisection over the kNN graph with a PCA-plane fallback."""
 from __future__ import annotations
 
-import csv
 import threading
 from pathlib import Path
 

@@ -156,7 +156,10 @@ def train(steps: int = 20, batch: int = 8, n_points: int = 128,
 
     if mesh is None:
         devs = jax.devices()
-        mesh = Mesh(np.array(devs).reshape(len(devs), 1), ("data", "model"))
+        nd = len(devs)
+        while batch % nd:  # data axis must divide the batch
+            nd -= 1
+        mesh = Mesh(np.array(devs[:nd]).reshape(nd, 1), ("data", "model"))
     key = jax.random.PRNGKey(seed)
     key, pk = jax.random.split(key)
     params = init_params(pk)

@@ -1,0 +1,61 @@
+"""Training + checkpoint writer tests."""
+from collections import OrderedDict
+
+import numpy as np
+import pytest
+
+import jax
+
+from dipole_tpu import train
+from dipole_tpu.models import checkpoints
+
+
+def test_train_loss_decreases():
+    params, history = train.train(steps=8, batch=4, n_points=64, verbose=False)
+    losses = [h[0] for h in history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_init_params_matches_checkpoint_layout():
+    params = train.init_params(jax.random.PRNGKey(0))
+    ref = checkpoints.load_state_dict("/root/reference/pre_trained/hands.pt")
+    assert set(params.keys()) == set(ref.keys())
+    for k in params:
+        assert params[k].shape == ref[k].shape, k
+
+
+def test_checkpoint_writer_roundtrip(tmp_path):
+    sd = OrderedDict([
+        ("a.weight", np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32)),
+        ("a.bias", np.zeros(4, np.float32)),
+        ("idx", np.arange(6, dtype=np.int64).reshape(2, 3)),
+    ])
+    p = tmp_path / "rt.pt"
+    checkpoints.save_state_dict(sd, p)
+    back = checkpoints.load_state_dict(p)
+    assert list(back.keys()) == list(sd.keys())
+    for k in sd:
+        assert np.array_equal(back[k], sd[k]), k
+
+
+def test_checkpoint_writer_torch_compatible(tmp_path):
+    torch = pytest.importorskip("torch")
+    sd = OrderedDict([
+        ("w", np.random.default_rng(1).normal(size=(5, 2)).astype(np.float32)),
+        ("b", np.ones(5, np.float32)),
+    ])
+    p = tmp_path / "tc.pt"
+    checkpoints.save_state_dict(sd, p)
+    back = torch.load(p, map_location="cpu", weights_only=True)
+    for k in sd:
+        assert np.array_equal(back[k].numpy(), sd[k]), k
+
+
+def test_trained_params_roundtrip_through_pt(tmp_path):
+    params = train.init_params(jax.random.PRNGKey(2))
+    p = tmp_path / "model.pt"
+    checkpoints.save_state_dict({k: np.asarray(v) for k, v in params.items()}, p)
+    back = checkpoints.load_state_dict(p)
+    for k in params:
+        assert np.array_equal(back[k], np.asarray(params[k])), k
