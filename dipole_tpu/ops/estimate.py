@@ -1,10 +1,12 @@
 """PCA utilities and unoriented normal estimation.
 
 Replaces the reference's Open3D / torch_cluster normal estimation
-(util.py:520-567) with a batched kNN + masked-covariance + batched 3x3 eigh
-pipeline that runs entirely on device. The hybrid criterion (k nearest
-neighbors, then radius filter) mirrors Open3D's KDTreeSearchParamHybrid so
-inputs stay comparable (SURVEY §7 hard parts)."""
+(util.py:520-567): native KD-tree neighbor search (O(N log N)) + masked
+covariance + closed-form batched 3x3 eigendecomposition. The hybrid
+criterion (k nearest neighbors, then radius filter) mirrors Open3D's
+KDTreeSearchParamHybrid so inputs stay comparable (SURVEY §7 hard parts).
+The O(N k) covariance pass runs on the local CPU backend — at these shapes
+it is transfer-bound, not compute-bound, on the tunneled TPU."""
 from __future__ import annotations
 
 from functools import partial
@@ -51,8 +53,7 @@ def rotate_to_principle_components(x, scale: bool = True):
     return rotated
 
 
-@partial(jax.jit, static_argnames=())
-def _masked_pca_normals(neigh: jnp.ndarray, valid: jnp.ndarray):
+def _masked_pca_impl(neigh: jnp.ndarray, valid: jnp.ndarray):
     """Smallest-eigenvector normals from (N, k, 3) neighborhoods with a
     validity mask (N, k)."""
     w = valid.astype(jnp.float32)[..., None]
@@ -63,20 +64,40 @@ def _masked_pca_normals(neigh: jnp.ndarray, valid: jnp.ndarray):
     return smallest_eigvec_3x3(cov)
 
 
+_masked_pca_normals = jax.jit(_masked_pca_impl)
+
+# the covariance pass is O(N k) — tunnel-transfer-bound on the TPU backend,
+# so run it on the local CPU backend when one is registered
+try:
+    _masked_pca_cpu = jax.jit(_masked_pca_impl, backend="cpu")
+except RuntimeError:  # no cpu backend registered
+    _masked_pca_cpu = _masked_pca_normals
+
+
+def _masked_pca_best(neigh: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    try:
+        return np.asarray(_masked_pca_cpu(neigh, valid))
+    except Exception:
+        return np.asarray(_masked_pca_normals(jnp.asarray(neigh), jnp.asarray(valid)))
+
+
 def estimate_normals(inputpc, max_nn: int = 30, radius: float = 0.1,
                      keep_orientation: bool = False) -> np.ndarray:
     """Unoriented PCA normals with Open3D's hybrid search criterion: up to
     max_nn nearest neighbors (including self) within `radius` (reference
-    util.py:551-567). Returns (N, 6)."""
+    util.py:551-567). Returns (N, 6).
+
+    Neighbor search runs on the native host KD-tree (O(N log N) — the
+    brute-force device kNN loses at normal-estimation scales); the masked
+    covariance + closed-form 3x3 eigendecomposition run on device."""
+    from dipole_tpu import native
+
     inputpc = np.asarray(inputpc, dtype=np.float32)
     pos = inputpc[:, :3]
     n = len(pos)
     k = min(max_nn, n)
-    idx, d2 = knn(pos, pos, k)
-    idx = jnp.asarray(idx)
-    valid = jnp.asarray(d2) <= radius * radius
-    neigh = jnp.asarray(pos)[idx]
-    normals = np.asarray(_masked_pca_normals(neigh, valid))
+    idx, d2 = native.knn(pos, pos, k)
+    normals = _masked_pca_best(pos[idx], d2 <= radius * radius)
     out = np.concatenate([pos, normals.astype(np.float32)], axis=1)
     if keep_orientation and inputpc.shape[1] == 6:
         flip = (inputpc[:, 3:6] * out[:, 3:6]).sum(axis=-1) < 0
@@ -91,9 +112,8 @@ def estimate_normals_knn(inputpc, max_nn: int = 30) -> np.ndarray:
     pos = inputpc[:, :3]
     k = min(max_nn, len(pos))
     idx, _ = knn(pos, pos, k)
-    neigh = jnp.asarray(pos)[jnp.asarray(idx)]
-    valid = jnp.ones(neigh.shape[:2], bool)
-    normals = np.asarray(_masked_pca_normals(neigh, valid))
+    neigh = np.asarray(pos)[np.asarray(idx)]
+    normals = _masked_pca_best(neigh, np.ones(neigh.shape[:2], bool))
     return np.concatenate([pos, normals.astype(np.float32)], axis=1)
 
 
