@@ -1,0 +1,9 @@
+#!/bin/bash
+# reference demos/fandisk.sh analog
+source "$(dirname "$0")/common.sh"
+python -m dipole_tpu.cli.orient_pointcloud \
+  --pc $REF/data/fandisk.xyz --export_dir $OUT/fandisk \
+  --models $MODELS \
+  --iters 10 --propagation_iters 5 --number_parts 30 \
+  --minimum_points_per_patch 100 --curvature_threshold 0.01 \
+  --diffuse --weighted_prop --estimate_normals

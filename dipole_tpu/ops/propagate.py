@@ -342,15 +342,16 @@ def strongest_field_propagation_reps(pts, reps, diffuse: bool = False,
 # Xie (mirror-field) propagation
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=())
-def _xie_greedy_scan(I: jnp.ndarray, start: jnp.ndarray):
+@jax.jit
+def _xie_greedy_scan(I: jnp.ndarray, start: jnp.ndarray, valid: jnp.ndarray):
     """Sequential xie propagation (reference field_utils.py:536-563).
 
     The reference re-adds the interaction of the *entire* visited set to the
     unvisited accumulator every iteration, so a source's contribution is
     weighted by how long it has been visited; the next point is the max of
     the *signed* accumulator (not max-|.|). Replicated via a running rate
-    vector: rate = I @ (sign * visited); acc += rate each step."""
+    vector: rate = I @ (sign * visited); acc += rate each step. I is padded
+    to a bucket; padded rows start visited and excess steps are no-ops."""
     n = I.shape[0]
 
     def step(carry, _):
@@ -358,16 +359,17 @@ def _xie_greedy_scan(I: jnp.ndarray, start: jnp.ndarray):
         acc = acc + rate
         masked = jnp.where(visited, -jnp.inf, acc)
         c = jnp.argmax(masked)
+        live = ~visited[c]
         s = jnp.where(acc[c] < 0, -1.0, 1.0)
-        sign = sign.at[c].set(s)
+        sign = sign.at[c].set(jnp.where(live, s, sign[c]))
         visited = visited.at[c].set(True)
-        rate = rate + s * I[:, c]
+        rate = rate + jnp.where(live, s, 0.0) * I[:, c]
         return (acc, rate, sign, visited), None
 
     acc0 = jnp.zeros((n,), jnp.float32)
     rate0 = I[:, start]
     sign0 = jnp.zeros((n,), jnp.float32).at[start].set(1.0)
-    visited0 = jnp.zeros((n,), bool).at[start].set(True)
+    visited0 = (~valid).at[start].set(True)
     (acc, _, sign, _), _ = jax.lax.scan(
         step, (acc0, rate0, sign0, visited0), None, length=n - 1
     )
@@ -379,10 +381,14 @@ def xie_propagation_points(pts, eps: float, diffuse: bool = False,
                            knn_mask: int = -1) -> np.ndarray:
     """Sequential mirror-field propagation (reference field_utils.py:536-563)."""
     pts = np.asarray(pts, dtype=np.float32)
+    n = len(pts)
     mask = _build_knn_mask(pts, knn_mask) if knn_mask > 0 else None
     I = fields.xie_interaction_matrix(pts, C=C, knn_mask=mask)
-    acc, sign = _xie_greedy_scan(I, jnp.int32(starting_point))
-    acc, sign = np.asarray(acc), np.asarray(sign)
+    nb = _bucket(n)
+    Ipad = jnp.zeros((nb, nb), jnp.float32).at[:n, :n].set(I)
+    valid = jnp.zeros((nb,), bool).at[:n].set(True)
+    acc, sign = _xie_greedy_scan(Ipad, jnp.int32(starting_point), valid)
+    acc, sign = np.asarray(acc)[:n], np.asarray(sign)[:n]
     if diffuse:
         # reference diffuse_field: interactions of the whole (current) cloud
         # with itself, flip where <= 0 fails; uses sum over sources incl self
@@ -451,13 +457,20 @@ def xie_propagation_in_order(pts, orders, eps: float = 1e-2,
     multiplies by an all-ones vector instead; here the documented intent is
     implemented.)"""
     pts = np.asarray(pts, dtype=np.float32)
+    n = len(pts)
     mask = _build_knn_mask(pts, knn_mask) if knn_mask > 0 else None
     I = fields.xie_interaction_matrix(pts, C=C, knn_mask=mask)
     if points_weight is not None:
         I = I * jnp.asarray(points_weight, jnp.float32)[None, :]
-    orders = jnp.asarray(np.asarray(orders, dtype=np.int32))
-    flips = _in_order_scan(I, orders, bool(diffuse))
-    return np.asarray(flips)
+    # pad to a bucket: the dummy index n has an all-zero row/column, so the
+    # padded replay steps neither decide nor contribute anything
+    nb = _bucket(n + 1)
+    Ipad = jnp.zeros((nb, nb), jnp.float32).at[:n, :n].set(I)
+    orders = np.asarray(orders, dtype=np.int32)
+    opad = np.full((orders.shape[0], nb), n, np.int32)
+    opad[:, : orders.shape[1]] = orders
+    flips = _in_order_scan(Ipad, jnp.asarray(opad), bool(diffuse))
+    return np.asarray(flips)[:, :n]
 
 
 def xie_propagation_bfs_tree(pts, eps: float, diffuse: bool = False,
