@@ -1,0 +1,204 @@
+"""Behavioral parity against the actual PyTorch reference implementation.
+
+These tests import the reference from /root/reference (read-only) with its
+unavailable native deps stubbed, run both implementations on identical
+inputs, and require exact sign agreement. They are the executable version of
+the acceptance gate in BASELINE.json (>= 99.9% per-point sign agreement).
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_sphere, scramble_signs
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    torch = pytest.importorskip("torch")
+    for name in ["open3d", "open3d.geometry", "open3d.utility", "open3d.io",
+                 "open3d.visualization", "gurobipy", "pymeshlab"]:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    if not hasattr(torch, "symeig") or True:
+        def _symeig(A, eigenvectors=False, upper=True):
+            return torch.linalg.eigh(A, UPLO="U" if upper else "L")
+        torch.symeig = _symeig
+    sys.path.insert(0, REF)
+    import field_utils as ref_field_utils
+    import util as ref_util
+    return ref_field_utils, ref_util, torch
+
+
+def _cloud(n=400, seed=0):
+    gt = make_sphere(n, seed=seed)
+    scrambled, _ = scramble_signs(gt, seed=seed + 1)
+    return scrambled
+
+
+def test_field_grad_parity(ref_modules):
+    rfu, _, torch = ref_modules
+    src = _cloud(300, 0)
+    tgt = _cloud(200, 2)
+    from dipole_tpu.ops import fields
+
+    ours = np.asarray(fields.field_grad(src, tgt))
+    ref = rfu.field_grad(torch.tensor(src), torch.tensor(tgt[:, :3])).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_potential_parity(ref_modules):
+    rfu, _, torch = ref_modules
+    src = _cloud(300, 3)
+    tgt = _cloud(150, 4)
+    from dipole_tpu.ops import fields
+
+    ours = np.asarray(fields.potential(src, tgt))
+    ref = rfu.potential(torch.tensor(src), torch.tensor(tgt[:, :3])).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_mean_potential_parity(ref_modules):
+    rfu, _, torch = ref_modules
+    pc = _cloud(400, 5) * 0.4
+    from dipole_tpu.ops import fields
+
+    ours = fields.measure_mean_potential(pc)
+    ref = float(rfu.measure_mean_potential(torch.tensor(pc)))
+    assert abs(ours - ref) < 1e-2 * max(1.0, abs(ref))
+
+
+def test_point_propagation_parity(ref_modules):
+    rfu, _, torch = ref_modules
+    pc = _cloud(500, 6)
+    from dipole_tpu.ops import propagate
+    from dipole_tpu.ops.metrics import sign_agreement
+
+    ours = propagate.strongest_field_propagation_points(pc, diffuse=True)
+    tp = torch.tensor(pc.copy())
+    rfu.strongest_field_propagation_points(tp, diffuse=True, starting_point=0)
+    assert sign_agreement(ours, tp.numpy()) == 1.0
+
+
+def test_patch_propagation_parity(ref_modules):
+    rfu, _, torch = ref_modules
+    gt = make_sphere(600, seed=7)
+    from dipole_tpu.ops import propagate
+    from dipole_tpu.ops.metrics import sign_agreement
+    from dipole_tpu.ops.patching import divide_pc
+
+    pc, _ = scramble_signs(gt, seed=8)
+    patches = divide_pc(pc[:, :3], 5, min_patch=10)
+    filtered = [(i, p) for i, p in enumerate(patches)]
+    for diffuse in (False, True):
+        ours = propagate.strongest_field_propagation_patches(
+            pc.copy(), filtered, patches, diffuse=diffuse
+        )
+        tp = torch.tensor(pc.copy())
+        t_f = [(i, torch.tensor(np.asarray(p))) for i, p in filtered]
+        t_a = [torch.tensor(np.asarray(p)) for p in patches]
+        rfu.strongest_field_propagation(tp, t_f, t_a, diffuse=diffuse, weights=None)
+        assert sign_agreement(ours, tp.numpy()) == 1.0, f"diffuse={diffuse}"
+
+
+def test_patch_propagation_weighted_parity(ref_modules):
+    rfu, _, torch = ref_modules
+    gt = make_sphere(500, seed=9)
+    from dipole_tpu.ops import propagate
+    from dipole_tpu.ops.metrics import sign_agreement
+    from dipole_tpu.ops.patching import divide_pc
+
+    pc, _ = scramble_signs(gt, seed=10)
+    weights = np.random.default_rng(11).random(500).astype(np.float32)
+    patches = divide_pc(pc[:, :3], 5, min_patch=10)
+    filtered = [(i, p) for i, p in enumerate(patches)]
+    ours = propagate.strongest_field_propagation_patches(
+        pc.copy(), filtered, patches, diffuse=True, weights=weights
+    )
+    tp = torch.tensor(pc.copy())
+    t_f = [(i, torch.tensor(np.asarray(p))) for i, p in filtered]
+    t_a = [torch.tensor(np.asarray(p)) for p in patches]
+    rfu.strongest_field_propagation(tp, t_f, t_a, diffuse=True,
+                                    weights=torch.tensor(weights))
+    assert sign_agreement(ours, tp.numpy()) >= 0.995
+
+
+def test_reps_propagation_parity(ref_modules):
+    rfu, _, torch = ref_modules
+    gt = make_sphere(800, seed=12)
+    from dipole_tpu.ops import propagate
+    from dipole_tpu.ops.metrics import sign_agreement
+    from dipole_tpu.ops.patching import divide_pc
+
+    pc, _ = scramble_signs(gt, seed=13)
+    patches = divide_pc(pc[:, :3], 4, min_patch=10)
+    rng = np.random.default_rng(14)
+    reps = []
+    for p in patches:
+        perm = rng.permutation(len(p))
+        reps.append((p[perm[:60]], p[perm[60:]]))
+    ours = propagate.strongest_field_propagation_reps(pc.copy(), reps, diffuse=True)
+    tp = torch.tensor(pc.copy())
+    t_reps = [(torch.tensor(np.asarray(r)), torch.tensor(np.asarray(q)))
+              for r, q in reps]
+    rfu.strongest_field_propagation_reps(tp, t_reps, diffuse=True)
+    assert sign_agreement(ours, tp.numpy()) == 1.0
+
+
+def test_reference_field_parity(ref_modules):
+    rfu, _, torch = ref_modules
+    ref_pc = make_sphere(300, seed=15)
+    tgt3 = make_sphere(200, seed=16)[:, :3] * 1.1
+    from dipole_tpu.ops import fields
+    from dipole_tpu.ops.metrics import sign_agreement
+
+    ours = fields.reference_field(ref_pc, tgt3.copy())
+    ref_out = rfu.reference_field(torch.tensor(ref_pc), torch.tensor(tgt3.copy()))
+    np.testing.assert_allclose(ours, ref_out.numpy(), rtol=1e-2, atol=1e-3)
+
+    tgt6, _ = scramble_signs(make_sphere(200, seed=17), seed=18)
+    tgt6 = tgt6 * np.float32(1.1)
+    ours6 = fields.reference_field(ref_pc, tgt6.copy())
+    ref6 = rfu.reference_field(torch.tensor(ref_pc), torch.tensor(tgt6.copy()))
+    assert sign_agreement(ours6, ref6.numpy()) == 1.0
+
+
+def test_divide_pc_parity(ref_modules):
+    _, rutil, torch = ref_modules
+    from dipole_tpu.ops.patching import divide_pc
+
+    pc = make_sphere(1500, seed=19)
+    tpc = torch.tensor(pc)
+    indices, ijk = rutil._divide_pc(tpc[:, :3], 12)
+    mi, _ = rutil.merge_nodes(tpc, [list(i) for i in indices],
+                              [list(k) for k in ijk], 30)
+    ours = divide_pc(pc[:, :3], 12, min_patch=30)
+    assert len(ours) == len(mi)
+    ref_sets = {frozenset(x.tolist()) for x in mi}
+    for p in ours:
+        assert frozenset(np.asarray(p).tolist()) in ref_sets
+
+
+def test_orient_center_parity(ref_modules):
+    _, rutil, torch = ref_modules
+    from dipole_tpu.utils.io import orient_center_np
+
+    pc = _cloud(200, 20)
+    ours = orient_center_np(pc)
+    ref = rutil.orient_center(torch.tensor(pc.copy())).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_transform_parity(ref_modules):
+    _, rutil, torch = ref_modules
+    from dipole_tpu.utils.io import Transform
+
+    pc = _cloud(300, 21) * 2.5 + 1.0
+    ours, T = Transform.trans(pc)
+    ref, rT = rutil.Transform.trans(torch.tensor(pc))
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(T.inverse(ours), rT.inverse(ref).numpy(),
+                               rtol=1e-5, atol=1e-6)
