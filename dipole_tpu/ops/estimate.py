@@ -67,18 +67,20 @@ def _masked_pca_impl(neigh: jnp.ndarray, valid: jnp.ndarray):
 _masked_pca_normals = jax.jit(_masked_pca_impl)
 
 # the covariance pass is O(N k) — tunnel-transfer-bound on the TPU backend,
-# so run it on the local CPU backend when one is registered
+# so pin it to the local CPU backend when one is registered
 try:
-    _masked_pca_cpu = jax.jit(_masked_pca_impl, backend="cpu")
-except RuntimeError:  # no cpu backend registered
-    _masked_pca_cpu = _masked_pca_normals
+    _CPU_DEVICE = jax.local_devices(backend="cpu")[0]
+except Exception:  # no cpu backend registered
+    _CPU_DEVICE = None
 
 
 def _masked_pca_best(neigh: np.ndarray, valid: np.ndarray) -> np.ndarray:
-    try:
-        return np.asarray(_masked_pca_cpu(neigh, valid))
-    except Exception:
-        return np.asarray(_masked_pca_normals(jnp.asarray(neigh), jnp.asarray(valid)))
+    if _CPU_DEVICE is not None:
+        return np.asarray(_masked_pca_normals(
+            jax.device_put(neigh, _CPU_DEVICE),
+            jax.device_put(valid, _CPU_DEVICE),
+        ))
+    return np.asarray(_masked_pca_normals(jnp.asarray(neigh), jnp.asarray(valid)))
 
 
 def estimate_normals(inputpc, max_nn: int = 30, radius: float = 0.1,

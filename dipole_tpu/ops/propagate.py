@@ -391,9 +391,9 @@ def xie_propagation_points(pts, eps: float, diffuse: bool = False,
     acc, sign = np.asarray(acc)[:n], np.asarray(sign)[:n]
     if diffuse:
         # reference diffuse_field: interactions of the whole (current) cloud
-        # with itself, flip where <= 0 fails; uses sum over sources incl self
-        Inp = np.asarray(I)
-        inter = (Inp * sign[None, :]).sum(-1) * sign
+        # with itself, flip where <= 0 fails; sum over sources incl. self.
+        # computed on device — I is O(N^2) and must not ride the host tunnel
+        inter = np.asarray(jnp.dot(I, jnp.asarray(sign), precision=_HI)) * sign
         vote = np.where(inter > 0, 1.0, -1.0).astype(np.float32)
         sign = sign * vote
     out = pts.copy()

@@ -1,0 +1,64 @@
+"""Visualization export + analysis module tests."""
+import json
+
+import numpy as np
+
+from dipole_tpu import analysis, vis
+from dipole_tpu.ops import fields
+from dipole_tpu.utils.io import read_ply, write_ply
+from tests.conftest import make_sphere
+
+
+def test_draw_pc_with_labels(tmp_path):
+    pc = make_sphere(100, seed=0)
+    labels = np.arange(100) % 4
+    vis.draw_pc(pc, tmp_path / "a.ply", labels=labels)
+    v = read_ply(tmp_path / "a.ply")
+    assert len(v["x"]) == 100 and "red" in v and "nx" in v
+
+
+def test_draw_field(tmp_path):
+    src = make_sphere(50, seed=1)
+    tgt = make_sphere(30, seed=2) * 1.5
+    vis.draw_field(src, tgt, fields.field_grad, tmp_path / "f.ply")
+    v = read_ply(tmp_path / "f.ply")
+    assert len(v["x"]) == 80
+    # target rows carry the field as normals; source rows keep their normals
+    g = np.stack([v["green"], v["red"]], 1)
+    assert (v["green"][:30] > 0).all() and (v["red"][30:] > 0).all()
+
+
+def test_draw_topology(tmp_path):
+    from dipole_tpu import graphs
+
+    pc = make_sphere(80, seed=3)
+    patches = [np.arange(0, 40), np.arange(40, 80)]
+    G = graphs.BidGraph()
+    G.V = [0, 1]
+    G.E = [graphs.BiEdge(0, 1, 1.0, -1.0)]
+    verts, faces, colors = vis.draw_topology(G, pc, patches,
+                                             path=tmp_path / "t.ply")
+    assert len(verts) > 0 and len(faces) > 0
+    assert (tmp_path / "t.ply").exists()
+
+
+def test_field_cross_section(tmp_path):
+    pc = make_sphere(100, seed=4) * 0.4
+    vals = vis.field_cross_section(pc, tmp_path / "cs.ply", n=16)
+    assert vals.shape == (16, 16)
+    assert np.isfinite(vals).all()
+
+
+def test_analysis_get_segs(tmp_path):
+    pc = make_sphere(60, seed=5)
+    write_ply(tmp_path / "res0.ply", pc[:, :3], pc[:, 3:])
+    write_ply(tmp_path / "res1.ply", pc[:, :3], pc[:, 3:])
+    (tmp_path / "reslog.json").write_text(json.dumps({
+        "node_log": [{"id": 0, "metric": 0.9}, {"id": 1, "metric": 0.8}]
+    }))
+    segs = analysis.get_segs(tmp_path)
+    assert len(segs) == 2
+    assert segs[0].metric == 0.9
+    table = analysis.self_interaction_table(segs)
+    assert len(table) == 2
+    assert np.isfinite(table[0]["self_interaction_all"])
