@@ -123,9 +123,6 @@ def fps(pos, ratio: float, start: int | None = None, key=None):
             start = int(jax.random.randint(key, (), 0, n))
         else:
             start = 0
-    if m == n:
-        # all points selected; keep fps ordering starting at `start`
-        pass
     return _fps_body(pos, jnp.int32(start), m)
 
 

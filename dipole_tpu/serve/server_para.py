@@ -120,6 +120,33 @@ class Server:
         self._stop.set()
 
 
+def warmup(sizes, functions=("simple_estimate", "tree_xie_propagation")):
+    """Precompile the hot programs for the given point-count buckets before
+    serving — this backend defers compilation to first execution per process,
+    so an unwarmed server would bill the first client minutes of compile."""
+    import numpy as np
+
+    configs = {
+        "simple_estimate": {"diffuse": True},
+        "xie_propagation": {"max_nn": 10, "eps": 1e-2, "diffuse": True},
+        "tree_xie_propagation": {"max_nn": 10, "eps": 1e-2, "diffuse": True,
+                                 "times": 3, "knn_mask": -1, "C": 3},
+        "hoppe_estimate": {"k_neighbor": 10, "r": 0.1},
+    }
+    rng = np.random.default_rng(0)
+    for n in sizes:
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        xyz = (v + rng.normal(scale=0.01, size=v.shape)) * 0.05
+        for fn in functions:
+            t0 = time.time()
+            try:
+                dispatch(fn, xyz, configs[fn])
+                log_msg(f"warmup {fn} n={n}: {time.time() - t0:.1f}s", mode="info")
+            except Exception as e:  # noqa: BLE001
+                log_msg(f"warmup {fn} n={n} failed: {e}", mode="warning")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--port", type=int, default=PORT)
@@ -127,18 +154,18 @@ def main(argv=None):
     parser.add_argument("--max_thread", type=int, default=MAX_THREAD)
     parser.add_argument("--device", type=int, default=0,
                         help="JAX device index (reference --gpu analog)")
+    parser.add_argument("--warmup", type=str, default="",
+                        help="comma-separated point counts to precompile for, "
+                             "e.g. 2000,10000")
     args = parser.parse_args(argv)
     if args.device:
         import jax
 
         jax.config.update("jax_default_device", jax.devices()[args.device])
+    if args.warmup:
+        warmup([int(x) for x in args.warmup.split(",") if x])
     server = Server(args.host, args.port, args.max_thread)
-    if args.max_thread > 1:
-        server.serve_forever()
-    else:
-        # single-thread mode: handle connections inline
-        server.max_thread = 1
-        server.serve_forever()
+    server.serve_forever()
 
 
 if __name__ == "__main__":
