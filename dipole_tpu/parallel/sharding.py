@@ -144,3 +144,109 @@ def interaction_accumulate_sharded(pts, signs, mesh: Mesh, eps: float = 1e-5):
 
     E = np.asarray(run(src_p, tgt_p, jnp.float32(eps)))[:n]
     return (E * pts[:, 3:6]).sum(-1)
+
+
+def greedy_sign_sequence_sharded(pts, mesh: Mesh, starting_point: int = 0,
+                                 eps: float = 1e-6):
+    """Distributed strongest-field greedy propagation: the interaction
+    accumulator is sharded over the mesh (each chip owns a target shard and
+    evaluates the chosen point's field column locally); the global argmax is
+    agreed per step with a single psum over (masked-max value, index) pairs.
+
+    This is the multi-chip form of ops/propagate.greedy_sign_sequence for
+    clouds whose O(N) per-step state / O(N^2) work exceeds one chip — the
+    sequential decision chain is preserved exactly (same flips as the
+    single-device scan). Returns (acc, sign) on the host.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    pts = np.asarray(pts, np.float32)
+    n = len(pts)
+    shard = -(-n // (n_dev * 8)) * 8                      # rows per device, 8-aligned
+    nb = shard * n_dev
+    pts_pad = np.zeros((nb, 6), np.float32)
+    pts_pad[:n] = pts
+    pts_pad[n:, :3] = 1.0e6                               # sentinel, zero moment
+    valid = np.zeros(nb, bool)
+    valid[:n] = True
+
+    @partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(axis, None), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis)),
+    )
+    def run(pts_shard, valid_shard, full_pts, start):
+        m = pts_shard.shape[0]
+        me = jax.lax.axis_index(axis)
+        base = me * m                                     # my global row offset
+        pos, nrm = pts_shard[:, :3], pts_shard[:, 3:6]
+
+        def column(c):
+            """Interaction of global point c at my target shard."""
+            src = full_pts[c]
+            R = src[:3][None, :] - pos
+            r2 = jnp.sum(R * R, axis=-1)
+            zero = r2 == 0.0
+            r = jnp.sqrt(r2)
+            denom = r * r2 + eps
+            p = src[3:6]
+            cdot = R @ p
+            Rn = jnp.sum(R * nrm, axis=-1)
+            pn = nrm @ p
+            safe_r2 = jnp.where(zero, 1.0, r2)
+            col = -(3.0 * cdot * Rn / (safe_r2 * denom) - pn / denom)
+            col = jnp.where(zero, 0.0, col)
+            return jnp.where(jnp.isfinite(col), col, 0.0)
+
+        def global_argmax(masked):
+            """argmax over the sharded vector: local argmax, then a psum of
+            one-hot (value, index) encodings picks the winner (ties resolve
+            to the lowest global index, matching the single-device argmax)."""
+            li = jnp.argmax(masked)
+            lv = masked[li]
+            gi = base + li
+            # gather every shard's candidate (value, index)
+            vals = jax.lax.all_gather(lv, axis)           # (n_dev,)
+            idxs = jax.lax.all_gather(gi, axis)
+            best_shard = jnp.argmax(vals)
+            # lowest-index tie-break across shards
+            is_max = vals == vals[best_shard]
+            cand = jnp.where(is_max, idxs, jnp.iinfo(jnp.int32).max)
+            return jnp.min(cand), vals[best_shard]
+
+        def step(carry, _):
+            acc, sign, visited = carry
+            masked = jnp.where(visited, -jnp.inf, jnp.abs(acc))
+            c, _ = global_argmax(masked)
+            # the owning shard reads acc[c]; broadcast via psum
+            local = (c >= base) & (c < base + m)
+            acc_c = jax.lax.psum(
+                jnp.where(local, acc[jnp.clip(c - base, 0, m - 1)], 0.0), axis
+            )
+            was_visited = jax.lax.psum(
+                jnp.where(local,
+                          visited[jnp.clip(c - base, 0, m - 1)].astype(jnp.float32),
+                          0.0), axis) > 0
+            s = jnp.where(acc_c < 0, -1.0, 1.0)
+            upd = jnp.where(was_visited, 0.0, s)
+            lc = jnp.clip(c - base, 0, m - 1)
+            sign = jnp.where(local, sign.at[lc].set(jnp.where(was_visited, sign[lc], s)), sign)
+            visited = jnp.where(local, visited.at[lc].set(True), visited)
+            acc = acc + upd * column(c)
+            return (acc, sign, visited), None
+
+        start_local = (start >= base) & (start < base + m)
+        sl = jnp.clip(start - base, 0, m - 1)
+        acc0 = column(start)
+        sign0 = jnp.where(start_local,
+                          jnp.zeros((m,), jnp.float32).at[sl].set(1.0),
+                          jnp.zeros((m,), jnp.float32))
+        visited0 = ~valid_shard
+        visited0 = jnp.where(start_local, visited0.at[sl].set(True), visited0)
+        (acc, sign, _), _ = jax.lax.scan(
+            step, (acc0, sign0, visited0), None, length=nb - 1
+        )
+        return acc, sign
+
+    acc, sign = run(pts_pad, valid, jnp.asarray(pts_pad), jnp.int32(starting_point))
+    return np.asarray(acc)[:n], np.asarray(sign)[:n]

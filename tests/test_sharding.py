@@ -48,3 +48,15 @@ def test_interaction_accumulate_sharded(mesh):
     want = I @ signs
     scale = np.abs(I).sum(-1)
     assert np.all(np.abs(acc - want) <= 1e-2 * np.abs(want) + 1e-3 * scale + 1e-3)
+
+
+def test_sharded_greedy_matches_single(mesh):
+    from dipole_tpu.ops import propagate
+    from tests.conftest import scramble_signs
+
+    gt = make_sphere(500, seed=20)
+    pc, _ = scramble_signs(gt, seed=21)
+    acc_m, sign_m = sharding.greedy_sign_sequence_sharded(pc, mesh)
+    acc_s, sign_s = propagate.greedy_sign_sequence(pc)
+    assert (np.asarray(sign_s) == sign_m).mean() == 1.0
+    assert np.allclose(acc_m, np.asarray(acc_s), rtol=1e-3, atol=1e-3)
