@@ -65,10 +65,10 @@ def run(opts):
     key = jax.random.PRNGKey(1)
 
     with MyTimer("network orientation"):
-        rep_sets = [represent[i][0] for i, _ in patch_indices]
+        rep_sets = [represent[i][0] for i, _ in patch_indices] if models else []
         # the reference runs opts.iters sequential re-votes per patch; the
         # patches are independent, so each round is one batched ensemble pass
-        for _ in range(opts.iters):
+        for _ in range(opts.iters if rep_sets else 0):
             key, sub = jax.random.split(key)
             votes = ensemble_vote_patches(
                 models, [input_pc[r] for r in rep_sets], key=sub

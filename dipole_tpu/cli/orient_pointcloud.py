@@ -59,18 +59,19 @@ def run(opts):
 
     for it in range(opts.iters):
         with MyTimer(f"iteration {it}"):
-            # one batched ensemble pass over all filtered patches (each
-            # forward reads only its own patch, so this is exactly the
-            # reference's sequential per-patch loop)
-            key, sub = jax.random.split(key)
-            votes = ensemble_vote_patches(
-                models, [input_pc[pidx] for _, pidx in patch_indices], key=sub
-            )
-            for (_, pidx), (flip, probs) in zip(patch_indices, votes):
-                probs = probs.copy()
-                probs[flip] = 1 - probs[flip]
-                pc_probs[pidx] = probs
-                input_pc[pidx[flip], 3:6] *= -1
+            if models and patch_indices:
+                # one batched ensemble pass over all filtered patches (each
+                # forward reads only its own patch, so this is exactly the
+                # reference's sequential per-patch loop)
+                key, sub = jax.random.split(key)
+                votes = ensemble_vote_patches(
+                    models, [input_pc[pidx] for _, pidx in patch_indices], key=sub
+                )
+                for (_, pidx), (flip, probs) in zip(patch_indices, votes):
+                    probs = probs.copy()
+                    probs[flip] = 1 - probs[flip]
+                    pc_probs[pidx] = probs
+                    input_pc[pidx[flip], 3:6] *= -1
 
             if it % opts.propagation_iters == 0 and (it != 0 or opts.propagation_iters == 1):
                 with MyTimer("propagation"):

@@ -1,0 +1,76 @@
+"""CLI end-to-end tests on tiny clouds (argv-level, through main())."""
+import numpy as np
+import pytest
+
+from dipole_tpu.utils.io import export_pc, load_xyz
+from tests.conftest import make_sphere, scramble_signs
+
+
+@pytest.fixture()
+def tiny_cloud(tmp_path):
+    gt = make_sphere(200, seed=0)
+    scrambled, _ = scramble_signs(gt, seed=1)
+    p = tmp_path / "tiny.xyz"
+    export_pc(scrambled, p)
+    return p, gt
+
+
+def test_orient_simple_cli(tiny_cloud, tmp_path):
+    from dipole_tpu.cli import orient_simple
+
+    pc_path, gt = tiny_cloud
+    out_dir = tmp_path / "out"
+    orient_simple.main([
+        "--pc", str(pc_path), "--export_dir", str(out_dir), "--diffuse",
+    ])
+    result = load_xyz(out_dir / "final_result.xyz")
+    assert result.shape == (200, 6)
+    agree = ((result[:, 3:] * gt[:, 3:]).sum(1) > 0).mean()
+    assert max(agree, 1 - agree) > 0.99
+    assert (out_dir / "opts.txt").exists()
+
+
+def test_orient_pointcloud_cli_no_models(tiny_cloud, tmp_path):
+    """Patch pipeline without a network ensemble (models=[]) still orients
+    via orient_center + propagation."""
+    from dipole_tpu.cli import orient_pointcloud
+
+    pc_path, gt = tiny_cloud
+    out_dir = tmp_path / "out2"
+    orient_pointcloud.main([
+        "--pc", str(pc_path), "--export_dir", str(out_dir),
+        "--iters", "1", "--propagation_iters", "1",
+        "--number_parts", "4", "--minimum_points_per_patch", "10",
+        "--diffuse",
+    ])
+    result = load_xyz(out_dir / "final_result.xyz")
+    agree = ((result[:, 3:] * gt[:, 3:]).sum(1) > 0).mean()
+    assert max(agree, 1 - agree) > 0.95
+
+
+def test_reference_orientation_cli(tmp_path):
+    from dipole_tpu.cli import reference_orientation
+
+    # dipole sheet: z=0 plane with +z normals. With the reference's field
+    # sign convention the field *on* the sheet (between sources) points
+    # along +n, so transferred normals for on-surface targets must be +z
+    # (this is exactly the transfer use case: a consolidated cloud of the
+    # same surface).
+    r = np.random.default_rng(2)
+    ref = np.zeros((300, 6), np.float32)
+    ref[:, :2] = r.uniform(-1, 1, (300, 2))
+    ref[:, 5] = 1.0
+    tgt = np.zeros((150, 3), np.float32)
+    tgt[:, :2] = r.uniform(-0.5, 0.5, (150, 2))
+    ref_p = tmp_path / "ref.xyz"
+    tgt_p = tmp_path / "in.xyz"
+    out_p = tmp_path / "out.xyz"
+    export_pc(ref, ref_p)
+    export_pc(tgt, tgt_p)
+    reference_orientation.main([
+        "--input", str(tgt_p), "--reference", str(ref_p),
+        "--output", str(out_p),
+    ])
+    result = load_xyz(out_p)
+    assert result.shape == (150, 6)
+    assert (result[:, 5] > 0).mean() > 0.95
