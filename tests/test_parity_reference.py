@@ -202,3 +202,46 @@ def test_transform_parity(ref_modules):
     np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(T.inverse(ours), rT.inverse(ref).numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_xie_interaction_matrix_parity(ref_modules):
+    rfu, _, torch = ref_modules
+    pc = _cloud(200, 30)
+    from dipole_tpu.ops import fields
+
+    ours = np.asarray(fields.xie_interaction_matrix(pc, C=3.0))
+    ref = rfu.xie_intersaction(torch.tensor(pc), torch.tensor(pc),
+                               eps=1e-2, knn_mask=-1, C=3).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_xie_in_order_replay_parity(ref_modules):
+    rfu, _, torch = ref_modules
+    pc = _cloud(150, 31)
+    rng = np.random.default_rng(32)
+    orders = np.stack([rng.permutation(150) for _ in range(3)])
+    from dipole_tpu.ops import propagate
+
+    for diffuse in (False, True):
+        ours = propagate.xie_propagation_in_order(pc, orders, diffuse=diffuse, C=3.0)
+        ref = rfu.xie_propagation_points_in_order(
+            torch.tensor(pc.copy()), 1e-2, orders, diffuse=diffuse,
+            knn_mask=-1, C=3,
+        ).numpy()
+        agree = (ours == ref).mean()
+        assert agree == 1.0, f"diffuse={diffuse}: {agree}"
+
+
+def test_xie_knn_mask_parity(ref_modules):
+    rfu, _, torch = ref_modules
+    pc = _cloud(120, 33)
+    from dipole_tpu.ops import fields
+    from dipole_tpu.ops.propagate import _build_knn_mask
+
+    mask = _build_knn_mask(pc, 8)
+    ours = np.asarray(fields.xie_interaction_matrix(pc, C=3.0, knn_mask=mask))
+    ref = rfu.xie_intersaction(torch.tensor(pc), torch.tensor(pc),
+                               eps=1e-2, knn_mask=8, C=3).numpy()
+    # masks may differ on exact kNN ties; require near-total agreement
+    same = np.isclose(ours, ref, rtol=1e-3, atol=1e-3).mean()
+    assert same > 0.999
