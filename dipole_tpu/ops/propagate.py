@@ -448,9 +448,15 @@ def _in_order_scan(I: jnp.ndarray, orders: jnp.ndarray, diffuse: bool):
 
 def xie_propagation_in_order(pts, orders, eps: float = 1e-2,
                              diffuse: bool = False, C: float = 3.0,
-                             knn_mask: int = -1, points_weight=None) -> np.ndarray:
+                             knn_mask: int = -1, points_weight=None,
+                             kernel: str = "xie") -> np.ndarray:
     """Order-driven batch replay: T orders advanced in lock-step against one
     interaction matrix. Returns (T, N) bool flip mask.
+
+    kernel="xie" is the fork's mirror field (reference field_utils.py:569-605);
+    kernel="dipole" applies the same lock-step machinery to the paper's
+    original dipole interaction (an extension — the fork never wired its fast
+    replay to the dipole kernel).
 
     points_weight scales each *source* column of the interaction matrix.
     (The reference declares this parameter but a bug at field_utils.py:576-584
@@ -459,7 +465,14 @@ def xie_propagation_in_order(pts, orders, eps: float = 1e-2,
     pts = np.asarray(pts, dtype=np.float32)
     n = len(pts)
     mask = _build_knn_mask(pts, knn_mask) if knn_mask > 0 else None
-    I = fields.xie_interaction_matrix(pts, C=C, knn_mask=mask)
+    if kernel == "xie":
+        I = fields.xie_interaction_matrix(pts, C=C, knn_mask=mask)
+    elif kernel == "dipole":
+        I = fields.dipole_interaction_matrix(pts, eps=1e-6)
+        if mask is not None:
+            I = I * jnp.asarray(mask, jnp.float32)
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
     if points_weight is not None:
         I = I * jnp.asarray(points_weight, jnp.float32)[None, :]
     # pad to a bucket: the dummy index n has an all-zero row/column, so the
@@ -477,7 +490,7 @@ def xie_propagation_bfs_tree(pts, eps: float, diffuse: bool = False,
                              starting_point: int = 0, k: int = 10,
                              threshold: float = 0.1, times: int = 1,
                              use_pw: bool = False, knn_mask: int = -1,
-                             C: float = 3.0):
+                             C: float = 3.0, kernel: str = "xie"):
     """Multi-start BFS-tree propagation with vote alignment (reference
     field_utils.py:657-710): draw `times` BFS orders from a thresholded kNN
     graph, replay them in lock-step, align runs by solving the binary
@@ -507,7 +520,7 @@ def xie_propagation_bfs_tree(pts, eps: float, diffuse: bool = False,
 
     flips = xie_propagation_in_order(
         pts, orders, eps=eps, diffuse=diffuse, C=C, knn_mask=knn_mask,
-        points_weight=points_weight,
+        points_weight=points_weight, kernel=kernel,
     ).T                                                  # (N, T)
 
     # align runs: A = pairwise disagreement counts, B = agreement counts;

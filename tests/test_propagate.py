@@ -96,3 +96,16 @@ def test_bfs_tree_propagation():
         scrambled, eps=1e-2, diffuse=True, times=3, k=10, threshold=1.0
     )
     assert sign_agreement(out, gt) >= 0.95
+
+
+def test_dipole_in_order_replay():
+    """The lock-step replay machinery applied to the dipole kernel (an
+    extension): with a BFS-tree vote it should recover a consistent sphere
+    orientation."""
+    gt = make_sphere(400, seed=30)
+    scrambled, _ = scramble_signs(gt, seed=31)
+    out, _ = propagate.xie_propagation_bfs_tree(
+        scrambled, eps=1e-2, diffuse=True, times=3, k=10, threshold=1.0,
+        kernel="dipole",
+    )
+    assert sign_agreement(out, gt) >= 0.95
