@@ -1,11 +1,12 @@
 """Benchmark: dipole field evaluation throughput (the framework's hot kernel).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-value = Mpoint-pairs/s of dipole field evaluation on a 15000x15000 pair
-block (the reference's maximum dense tile, field_utils.py:61) on the
-available accelerator; vs_baseline = speedup over the PyTorch-CPU reference
-kernel executing the same math (measured live on a smaller block and scaled
-per-pair, since the torch kernel is O(pairs))."""
+value = Mpoint-pairs/s of dipole field evaluation of the 100k-point boxunion
+demo cloud against itself (10^10 pairs — the workload class orient_large's
+final pass and the lattice sign fix are made of); vs_baseline = speedup over
+the PyTorch-CPU reference kernel executing the same math (measured live on a
+3000^2 block and compared per-pair, since the torch kernel is O(pairs) and
+cannot hold 100k^2 tiles)."""
 import json
 import time
 
@@ -19,19 +20,31 @@ def _cloud(n, seed):
     return pc
 
 
-def bench_tpu(n_src=15000, n_tgt=15000, iters=5):
+def _demo_cloud():
+    try:
+        from dipole_tpu.utils.io import Transform, load_xyz
+        from dipole_tpu.ops.estimate import estimate_normals
+
+        pc = load_xyz("/root/reference/data/boxunion.xyz", append_normals=False)
+        pc, _ = Transform.trans(pc)
+        return estimate_normals(pc, max_nn=30)
+    except Exception:
+        return _cloud(100000, 0)
+
+
+def bench_tpu(iters=3):
     from dipole_tpu.ops import fields
 
-    src = _cloud(n_src, 0)
-    tgt = _cloud(n_tgt, 1)
+    pc = _demo_cloud()
+    n = len(pc)
     # warm up (axon defers compilation to first execution)
-    np.asarray(fields.field_grad(src, tgt[:, :3]))
+    np.asarray(fields.field_grad(pc, pc[:, :3]))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = np.asarray(fields.field_grad(src, tgt[:, :3]))
+        out = np.asarray(fields.field_grad(pc, pc[:, :3]))
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(out).all()
-    return (n_src * n_tgt) / dt / 1e6  # Mpairs/s
+    return (n * n) / dt / 1e6  # Mpairs/s
 
 
 def bench_torch_cpu(n_src=3000, n_tgt=3000):

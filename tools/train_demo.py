@@ -23,7 +23,7 @@ def main(steps=300, out="/tmp/dipole_tpu_trained.pt", pool=0.6):
     t0 = time.time()
     params, history = train.train(
         steps=steps, batch=16, n_points=128, pool=pool, verbose=False,
-        learning_rate=1e-3,
+        learning_rate=3e-3,
     )
     dt = time.time() - t0
     losses = [h[0] for h in history]
