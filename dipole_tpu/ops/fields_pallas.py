@@ -297,3 +297,89 @@ def xie_interaction_matrix_pallas(pts, C: float = 3.0, targets=None):
     out = _xie_imatrix_padded(jnp.asarray(tgt8), jnp.asarray(src8),
                               jnp.full((1, 1), C, jnp.float32))
     return out[:n, :m]
+
+
+# ---------------------------------------------------------------------------
+# Point-group interaction kernel: F[i, g] = sum_{j in group g} I[i, j].
+# The patch pipelines' hot op. Pair math fused with an on-the-fly one-hot
+# contraction: per source chunk, oh[s, g] = (gid[s] == g) and the (T, S)
+# interaction tile hits the MXU via dot(I, oh) into a (T, G) accumulator.
+# ---------------------------------------------------------------------------
+
+def _group_kernel(t_ref, s_ref, gid_ref, eps_ref, o_ref):
+    eps = eps_ref[0, 0]
+    tt = jnp.transpose(t_ref[:])                 # (T_BLK, 8)
+    tx, ty, tz = tt[:, 0:1], tt[:, 1:2], tt[:, 2:3]
+    nx, ny, nz = tt[:, 3:4], tt[:, 4:5], tt[:, 5:6]
+    G = o_ref.shape[1]
+    n_chunks = s_ref.shape[1] // S_BLK
+
+    def body(j, acc):
+        off = pl.multiple_of(j * S_BLK, S_BLK)
+        sc = s_ref[:, pl.ds(off, S_BLK)]
+        gid = gid_ref[:, pl.ds(off, S_BLK)]      # (1, S_BLK) int32
+        sx, sy, sz = sc[0:1, :], sc[1:2, :], sc[2:3, :]
+        px, py, pz = sc[3:4, :], sc[4:5, :], sc[5:6, :]
+        Rx = sx - tx
+        Ry = sy - ty
+        Rz = sz - tz
+        r2 = Rx * Rx + Ry * Ry + Rz * Rz
+        zero = r2 == 0.0
+        r = jnp.sqrt(r2)
+        denom = r * r2 + eps
+        c = px * Rx + py * Ry + pz * Rz
+        Rn = nx * Rx + ny * Ry + nz * Rz
+        pn = px * nx + py * ny + pz * nz
+        safe_r2 = jnp.where(zero, 1.0, r2)
+        I = -(3.0 * c * Rn / (safe_r2 * denom) - pn / denom)
+        I = jnp.where(zero, 0.0, I)
+        I = jnp.where(jnp.isfinite(I), I, 0.0)   # (T_BLK, S_BLK)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (S_BLK, G), 1)
+        oh = (jnp.transpose(gid) == gcol).astype(jnp.float32)   # (S_BLK, G)
+        return acc + jnp.dot(I, oh, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((t_ref.shape[1], o_ref.shape[1]), jnp.float32)
+    )
+    o_ref[:] = acc
+
+
+@partial(jax.jit, static_argnames=())
+def _group_pallas_padded(tgt8, src8, gid, eps, out_groups):
+    nT = tgt8.shape[1] // T_BLK
+    G = out_groups.shape[0]
+    return pl.pallas_call(
+        _group_kernel,
+        grid=(nT,),
+        in_specs=[
+            pl.BlockSpec((8, T_BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((T_BLK, G), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tgt8.shape[1], G), jnp.float32),
+    )(tgt8, src8, gid, eps)
+
+
+def point_group_interaction_pallas(pts, group_ids, num_groups: int,
+                                   eps: float = 1e-5, source_weights=None):
+    """Pallas drop-in for ops.fields.point_group_interaction on TPU."""
+    pts = np.asarray(pts, np.float32).copy()
+    if source_weights is not None:
+        w = np.clip(np.asarray(source_weights, np.float32), None, None)
+        pts[:, 3:6] *= w[:, None]
+    n = len(pts)
+    G = -(-num_groups // 128) * 128
+    sp = -((-n) // S_BLK) * S_BLK
+    tp = -((-n) // T_BLK) * T_BLK
+    src8 = _to_channel_major(pts[:, :6], sp, sentinel_pos=True)
+    tgt8 = _to_channel_major(pts[:, :6], tp, sentinel_pos=True)
+    gid = np.full((1, sp), -1, np.int32)         # padded sources match no group
+    gid[0, :n] = np.asarray(group_ids, np.int32)
+    out = _group_pallas_padded(
+        jnp.asarray(tgt8), jnp.asarray(src8), jnp.asarray(gid),
+        jnp.full((1, 1), eps, jnp.float32), jnp.zeros((G,), jnp.float32),
+    )
+    return out[:n, :num_groups]

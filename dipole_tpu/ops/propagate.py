@@ -243,11 +243,12 @@ def strongest_field_propagation_patches(pts, filtered_patches, all_patches,
         work[:, 3:6] *= w[:, None]
 
     # F[i, q] = interaction at point i from patch q (weighted normals on both
-    # sides, like the reference's in-place scaling)
-    F = np.asarray(fields.point_group_interaction(work, seg, P, eps=1e-5))
-    onehot = np.zeros((n, P), dtype=np.float32)
-    onehot[np.arange(n), seg] = 1.0
-    W = onehot.T @ F                                     # (P,P) patch-patch
+    # sides, like the reference's in-place scaling). F is O(N*P) — it stays
+    # on device; only the tiny patch-patch W and the per-point accumulator
+    # come back to the host.
+    F = fields.point_group_interaction(work, seg, P, eps=1e-5)
+    seg_dev = jnp.asarray(seg)
+    W = np.asarray(jax.ops.segment_sum(F, seg_dev, num_segments=P))  # (P,P)
 
     start = _flattest_patch(pts, all_patches)
     sign = _greedy_patch_signs(W, start)
@@ -257,7 +258,11 @@ def strongest_field_propagation_patches(pts, filtered_patches, all_patches,
         # accumulated E.n per point; a patch's field never lands on its own
         # points in the reference's diffuse spreading (field_utils.py:326-331),
         # so subtract the own-patch column
-        acc = F @ sign - F[np.arange(n), seg] * sign[seg]
+        sign_dev = jnp.asarray(sign)
+        own = jnp.take_along_axis(F, seg_dev[:, None], axis=1)[:, 0]
+        acc = np.asarray(
+            jnp.dot(F, sign_dev, precision=_HI) - own * sign_dev[seg_dev]
+        )
         for _, idx in filtered_patches:
             idx = np.asarray(idx)
             inter = acc[idx] * total[idx]
@@ -294,10 +299,9 @@ def strongest_field_propagation_reps(pts, reps, diffuse: bool = False,
     )
     rep_pts = work[rep_concat]
 
-    F = np.asarray(fields.point_group_interaction(rep_pts, rep_seg, P, eps=1e-5))
-    onehot = np.zeros((len(rep_concat), P), dtype=np.float32)
-    onehot[np.arange(len(rep_concat)), rep_seg] = 1.0
-    W = onehot.T @ F
+    F = fields.point_group_interaction(rep_pts, rep_seg, P, eps=1e-5)
+    rep_seg_dev = jnp.asarray(rep_seg)
+    W = np.asarray(jax.ops.segment_sum(F, rep_seg_dev, num_segments=P))
 
     start = _flattest_patch(work, [np.asarray(r) for r, _ in reps])
     sign_patch = _greedy_patch_signs(W, start)
@@ -313,7 +317,11 @@ def strongest_field_propagation_reps(pts, reps, diffuse: bool = False,
     if diffuse:
         # per-rep-point re-vote; own-patch field excluded (the reference's
         # diffuse spread skips the emitting patch, field_utils.py:256-261)
-        acc = F @ sign_patch - F[np.arange(len(rep_concat)), rep_seg] * sign_patch[rep_seg]
+        sp_dev = jnp.asarray(sign_patch)
+        own = jnp.take_along_axis(F, rep_seg_dev[:, None], axis=1)[:, 0]
+        acc = np.asarray(
+            jnp.dot(F, sp_dev, precision=_HI) - own * sp_dev[rep_seg_dev]
+        )
         cur = total[rep_concat]
         vote = np.where(acc * cur > 0, 1.0, -1.0).astype(np.float32)
         total[rep_concat] = cur * vote
