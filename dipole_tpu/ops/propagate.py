@@ -151,13 +151,22 @@ def greedy_sign_sequence(pts, starting_point: int = 0, eps: float = 1e-6,
         I = fields.dipole_interaction_matrix(pts, eps=eps)
         Ipad = jnp.zeros((nb, nb), jnp.float32).at[:n, :n].set(I)
         acc, sign = _greedy_scan_matrix(Ipad, jnp.int32(starting_point), valid)
-    else:
-        pad = np.full((nb - n, 6), 0.0, np.float32)
-        pad[:, :3] = 1.0e6  # sentinel position, zero moment
-        pts_pad = jnp.asarray(np.concatenate([pts, pad], axis=0))
-        acc, sign = _greedy_scan_onthefly(
-            pts_pad, jnp.int32(starting_point), jnp.float32(eps), valid
-        )
+        return acc[:n], sign[:n]
+    if fields._use_pallas(n):
+        from dipole_tpu.ops import propagate_pallas
+
+        if n <= propagate_pallas.MAX_PALLAS_GREEDY:
+            # single-kernel greedy: the whole loop runs in VMEM (~3x the
+            # XLA on-the-fly scan at 100k), identical decisions
+            return propagate_pallas.greedy_sign_sequence_pallas(
+                pts, starting_point, eps
+            )
+    pad = np.full((nb - n, 6), 0.0, np.float32)
+    pad[:, :3] = 1.0e6  # sentinel position, zero moment
+    pts_pad = jnp.asarray(np.concatenate([pts, pad], axis=0))
+    acc, sign = _greedy_scan_onthefly(
+        pts_pad, jnp.int32(starting_point), jnp.float32(eps), valid
+    )
     return acc[:n], sign[:n]
 
 

@@ -47,3 +47,17 @@ def test_dispatch_gating_cpu():
     # on the CPU test platform the pallas path must not be selected
     assert not fp.available()
     assert not fields._use_pallas(100)
+
+
+def test_pallas_greedy_matches_scan_interpret():
+    from dipole_tpu.ops import propagate
+    from dipole_tpu.ops import propagate_pallas
+    from tests.conftest import make_sphere, scramble_signs
+
+    gt = make_sphere(300, seed=6)
+    pc, _ = scramble_signs(gt, seed=7)
+    with pltpu.force_tpu_interpret_mode():
+        acc_p, sign_p = propagate_pallas.greedy_sign_sequence_pallas(pc)
+    acc_s, sign_s = propagate.greedy_sign_sequence(pc)
+    assert (np.asarray(sign_s) == sign_p).mean() == 1.0
+    assert np.allclose(acc_p, np.asarray(acc_s), rtol=1e-3, atol=1e-2)
