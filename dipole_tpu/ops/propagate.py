@@ -8,10 +8,12 @@ field of a flipped source is the negated field.  So:
 
   * per-point greedy ("strongest field") becomes one `lax.scan` over an
     interaction accumulator: visiting point c adds sign_c * I[:, c] where
-    I[i, j] = E_j(x_i) . n_i is either precomputed (matrix path, rides the
-    MXU) or produced on the fly as a single fused column kernel (large-N
-    path). Mathematically identical to the reference's incremental E
-    updates (field_utils.py:353-388) and the same flip decisions.
+    I[i, j] = E_j(x_i) . n_i is precomputed (matrix path, N <= 20k),
+    produced on the fly per step (XLA fallback), or the entire loop runs
+    inside one Pallas kernel with VMEM-resident state
+    (ops/propagate_pallas.py, the large-N TPU default). Mathematically
+    identical to the reference's incremental E updates
+    (field_utils.py:353-388) and the same flip decisions.
   * patch-level greedy uses a patch-patch weight matrix W = segment-sums of
     the point-group interaction F (ops/fields.point_group_interaction), and
     the diffuse per-point re-vote reads F rows — no per-step field calls at
