@@ -9,8 +9,6 @@ The O(N k) covariance pass runs on the local CPU backend — at these shapes
 it is transfer-bound, not compute-bound, on the tunneled TPU."""
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

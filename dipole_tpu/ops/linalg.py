@@ -11,7 +11,6 @@ reference's torch.symeig ordering (reference util.py:495-517).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["eigh3x3", "smallest_eigvec_3x3"]

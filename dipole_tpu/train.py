@@ -152,8 +152,6 @@ def train(steps: int = 20, batch: int = 8, n_points: int = 128,
           pool: float = 0.6, mesh: Mesh | None = None, seed: int = 0,
           learning_rate: float = 1e-3, verbose: bool = True):
     """Train a fresh PointCNN on synthetic flips; returns (params, history)."""
-    from dipole_tpu.parallel.sharding import make_mesh
-
     if mesh is None:
         devs = jax.devices()
         nd = len(devs)

@@ -13,8 +13,6 @@ writing .ply files (no Open3D/plotly/skimage dependency):
 """
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 
 from dipole_tpu.utils.io import write_ply
