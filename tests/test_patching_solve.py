@@ -167,3 +167,49 @@ def test_hoppe_orientation():
     out = graphs.orient_normals_hoppe(scr, k=10)
     agree = ((out[:, 3:] * gt[:, 3:]).sum(1) > 0).mean()
     assert max(agree, 1 - agree) > 0.98
+
+
+def test_estimate_keep_orientation():
+    from dipole_tpu.ops.estimate import estimate_normals
+
+    gt = make_sphere(300, seed=30) * 0.03
+    out = estimate_normals(gt, max_nn=20, keep_orientation=True)
+    # keep_orientation flips estimated normals to agree with the input's
+    agree = ((out[:, 3:] * gt[:, 3:]).sum(1) > 0).mean()
+    assert agree > 0.99
+
+
+def test_weighted_bfs_route():
+    G = graphs.LinkedListGraph(4)
+    G.add_edge(0, 1, 5.0)
+    G.add_edge(0, 2, 1.0)
+    G.add_edge(1, 3, 1.0)
+    G.add_edge(2, 3, 1.0)
+    route = G.get_weighted_bfs_route(0)
+    assert route[0] == 0 and route[1] == 2  # lightest edge first
+    assert sorted(route.tolist()) == [0, 1, 2, 3]
+
+
+def test_timer_facade(capsys):
+    from dipole_tpu.utils.timing import timer_factory
+
+    T = timer_factory()
+    with T("stage a"):
+        pass
+    with T("skip", count=False):
+        pass
+    T.print_total_time()
+    out = capsys.readouterr().out
+    assert "started: stage a" in out and "finished: stage a" in out
+    assert "total time:" in out
+
+
+def test_pipeline_options_defaults():
+    from dipole_tpu.utils.config import PipelineOptions, get_parser
+
+    opts = PipelineOptions()
+    parsed = get_parser().parse_args(["--pc", "a.xyz", "--export_dir", "b"])
+    # dataclass defaults mirror the CLI defaults (reference options.py:5-20)
+    for k in ["iters", "propagation_iters", "number_parts",
+              "minimum_points_per_patch", "curvature_threshold", "n"]:
+        assert getattr(opts, k) == getattr(parsed, k), k
