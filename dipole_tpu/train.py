@@ -178,3 +178,122 @@ def train(steps: int = 20, batch: int = 8, n_points: int = 128,
         if verbose:
             print(f"step {i}: loss {float(loss):.4f} acc {float(acc):.4f}")
     return params, history
+
+
+# ---------------------------------------------------------------------------
+# Training on real clouds: reproduce the inference-time distribution — patch
+# the cloud, estimate unoriented normals, initialize with orient_center, and
+# label each point by whether that initial normal agrees with ground truth
+# (class 1 keep / class 0 flip). This is exactly the correction the ensemble
+# applies inside orient_pointcloud/orient_large.
+# ---------------------------------------------------------------------------
+
+def patches_from_cloud(path, number_parts: int = 30, min_patch: int = 100,
+                       max_nn: int = 30, seed: int = 0):
+    """[(patch (n,6) with orient_center-initialized estimated normals,
+    labels (n,) int32)] from a ground-truth-oriented .xyz/.ply cloud."""
+    from dipole_tpu.ops.estimate import estimate_normals
+    from dipole_tpu.ops.patching import divide_pc
+    from dipole_tpu.utils.io import Transform, load_point_cloud, orient_center_np
+
+    gt = load_point_cloud(path)
+    gt, _ = Transform.trans(gt)
+    est = estimate_normals(gt, max_nn=max_nn)
+    out = []
+    for idx in divide_pc(gt[:, :3], number_parts, min_patch=min_patch):
+        patch = orient_center_np(est[idx])
+        labels = ((patch[:, 3:6] * gt[idx, 3:6]).sum(-1) > 0).astype(np.int32)
+        out.append((patch.astype(np.float32), labels))
+    return out
+
+
+def _augment(patch, labels, rng):
+    """Random rotation + random whole-patch flip (labels invert)."""
+    q = rng.normal(size=(3, 3))
+    Q, _ = np.linalg.qr(q)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    p = patch.copy()
+    p[:, :3] = p[:, :3] @ Q
+    p[:, 3:6] = p[:, 3:6] @ Q
+    lab = labels.copy()
+    if rng.random() < 0.5:
+        p[:, 3:6] *= -1
+        lab = 1 - lab
+    return p, lab
+
+
+def train_on_clouds(paths, steps: int = 200, batch: int = 8,
+                    bucket: int = 512, pool: float = 0.6, seed: int = 0,
+                    learning_rate: float = 3e-3, mesh: Mesh | None = None,
+                    eval_paths=(), verbose: bool = True,
+                    number_parts: int = 30, min_patch: int = 100):
+    """Train the flip classifier on real GT-oriented clouds. Returns
+    (params, history, eval_accuracy or None)."""
+    rng = np.random.default_rng(seed)
+    data = []
+    for p in paths:
+        data.extend(patches_from_cloud(p, number_parts, min_patch, seed=seed))
+    if not data:
+        raise ValueError("no training patches")
+
+    if mesh is None:
+        devs = jax.devices()
+        nd = len(devs)
+        while batch % nd:
+            nd -= 1
+        mesh = Mesh(np.array(devs[:nd]).reshape(nd, 1), ("data", "model"))
+    key = jax.random.PRNGKey(seed)
+    key, pk = jax.random.split(key)
+    params = init_params(pk)
+    shardings = param_sharding(mesh, params)
+    params = {k: jax.device_put(v, shardings[k]) for k, v in params.items()}
+    m1 = int(-(-bucket * pool // 1))
+    m2 = int(-(-m1 * pool // 1))
+    opt, step_fn = make_train_step(mesh, pool, m1, m2, learning_rate)
+    opt_state = opt.init(params)
+
+    def batch_of(samples):
+        pc = np.zeros((batch, bucket, 6), np.float32)
+        lab = np.zeros((batch, bucket), np.int32)
+        valid = np.zeros((batch, bucket), bool)
+        for i, (p, l) in enumerate(samples):
+            if len(p) > bucket:
+                sel = rng.permutation(len(p))[:bucket]
+                p, l = p[sel], l[sel]
+            p, l = _augment(p, l, rng)
+            pc[i, : len(p)] = p
+            lab[i, : len(p)] = l
+            valid[i, : len(p)] = True
+        return jnp.asarray(pc), jnp.asarray(lab), jnp.asarray(valid)
+
+    history = []
+    for i in range(steps):
+        samples = [data[rng.integers(len(data))] for _ in range(batch)]
+        pc, lab, valid = batch_of(samples)
+        key, fk = jax.random.split(key)
+        keys = jax.random.split(fk, batch)
+        params, opt_state, loss, acc = step_fn(params, opt_state, pc, lab,
+                                               valid, keys)
+        history.append((float(loss), float(acc)))
+        if verbose and (i % 20 == 0 or i == steps - 1):
+            print(f"step {i}: loss {float(loss):.4f} acc {float(acc):.4f}")
+
+    eval_acc = None
+    if eval_paths:
+        correct = total = 0
+        for p in eval_paths:
+            for patch, lab in patches_from_cloud(p, number_parts, min_patch,
+                                                 seed=seed + 1):
+                if len(patch) > bucket:
+                    sel = rng.permutation(len(patch))[:bucket]
+                    patch, lab = patch[sel], lab[sel]
+                logits = pointcnn.pointcnn_logits(params, pool, patch,
+                                                  key=jax.random.PRNGKey(0),
+                                                  bucket=bucket)
+                correct += int((logits.argmax(-1) == lab).sum())
+                total += len(lab)
+        eval_acc = correct / max(total, 1)
+        if verbose:
+            print(f"eval accuracy on held-out clouds: {eval_acc:.4f}")
+    return params, history, eval_acc
