@@ -1,0 +1,41 @@
+"""Tools: format conversion and the big-model generator."""
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "tools")
+
+
+def test_convert_roundtrip(tmp_path):
+    from tests.conftest import make_sphere
+    from dipole_tpu.utils.io import export_pc, load_point_cloud
+    import importlib
+
+    convert = importlib.import_module("convert")
+    pc = make_sphere(50, seed=0)
+    xyz = tmp_path / "a.xyz"
+    ply = tmp_path / "a.ply"
+    back = tmp_path / "b.xyz"
+    export_pc(pc, xyz)
+    convert.convert(xyz, ply)
+    convert.convert(ply, back)
+    out = load_point_cloud(back)
+    np.testing.assert_allclose(out, pc, rtol=1e-5, atol=1e-6)
+
+
+def test_make_big_model():
+    import importlib
+
+    mbm = importlib.import_module("make_big_model")
+    pc = mbm.make(4000, seed=1)
+    assert pc.shape == (4000, 6)
+    n = np.linalg.norm(pc[:, 3:], axis=1)
+    np.testing.assert_allclose(n, 1.0, rtol=1e-4)
+
+
+def test_server_warmup_tiny():
+    from dipole_tpu.serve.server_para import warmup
+
+    # tiny sizes, subset of functions — must not raise
+    warmup([64], functions=("simple_estimate", "hoppe_estimate"))
