@@ -250,3 +250,26 @@ def greedy_sign_sequence_sharded(pts, mesh: Mesh, starting_point: int = 0,
 
     acc, sign = run(pts_pad, valid, jnp.asarray(pts_pad), jnp.int32(starting_point))
     return np.asarray(acc)[:n], np.asarray(sign)[:n]
+
+
+def orient_points_multichip(pts, mesh: Mesh, diffuse: bool = True,
+                            starting_point: int = 0, eps: float = 1e-6) -> np.ndarray:
+    """One-call multi-chip orient_simple core: distributed greedy propagation
+    + (optional) diffuse re-vote + source-sharded lattice sign fix. The
+    single-chip pipeline for clouds that exceed one chip's memory/compute.
+
+    Identical decisions to ops/propagate.strongest_field_propagation_points
+    followed by the measure_mean_potential sign fix."""
+    from dipole_tpu.utils.io import gen_grid
+
+    pts = np.asarray(pts, np.float32)
+    acc, sign = greedy_sign_sequence_sharded(pts, mesh, starting_point, eps)
+    if diffuse:
+        vote = np.where(acc * sign > 0, 1.0, -1.0).astype(np.float32)
+        sign = sign * vote
+    out = pts.copy()
+    out[:, 3:6] *= sign[:, None]
+    phi = potential_sharded(out, gen_grid(10), mesh)
+    if phi.mean() < 0:
+        out[:, 3:6] *= -1
+    return out

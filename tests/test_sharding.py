@@ -60,3 +60,17 @@ def test_sharded_greedy_matches_single(mesh):
     acc_s, sign_s = propagate.greedy_sign_sequence(pc)
     assert (np.asarray(sign_s) == sign_m).mean() == 1.0
     assert np.allclose(acc_m, np.asarray(acc_s), rtol=1e-3, atol=1e-3)
+
+
+def test_orient_points_multichip_matches_single(mesh):
+    from dipole_tpu.ops import fields, propagate
+    from tests.conftest import scramble_signs
+
+    gt = make_sphere(400, seed=22)
+    pc, _ = scramble_signs(gt, seed=23)
+    multi = sharding.orient_points_multichip(pc, mesh, diffuse=True)
+    single = propagate.strongest_field_propagation_points(pc, diffuse=True)
+    if fields.measure_mean_potential(single) < 0:
+        single[:, 3:6] *= -1
+    agree = ((multi[:, 3:] * single[:, 3:]).sum(1) > 0).mean()
+    assert agree == 1.0
