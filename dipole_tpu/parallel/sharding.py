@@ -11,9 +11,16 @@ jax.sharding.Mesh over the chips and SPMD field kernels —
   * source-sharded: each chip holds a source shard and all targets; partial
     fields are reduced with a psum over ICI. Right when the source cloud
     exceeds one chip's HBM appetite.
+  * ring: each chip holds 1/D of the sources AND 1/D of the targets; the
+    source shards rotate around the ring with jax.lax.ppermute, so after D
+    steps every target shard has integrated every source — per-chip memory
+    is O(N/D) and the compute/communication overlap rides ICI. This is the
+    layout that makes multi-chip buy *capacity*, not just compute (SURVEY
+    §5.8: ring rotation replaces the reference's recursive break_by_sources
+    at field_utils.py:23-44 when the cloud exceeds one chip's HBM).
 
-Both compose: shard targets on one mesh axis and sources on another for a
-2D decomposition with a single psum along the source axis.
+The first two compose: shard targets on one mesh axis and sources on
+another for a 2D decomposition with a single psum along the source axis.
 """
 from __future__ import annotations
 
@@ -27,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from dipole_tpu.ops import fields
 
 __all__ = ["make_mesh", "field_grad_sharded", "potential_sharded",
-           "interaction_accumulate_sharded"]
+           "interaction_accumulate_sharded", "pad_cloud_for_ring"]
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -91,20 +98,96 @@ def field_grad_sharded(sources, targets, mesh: Mesh, eps: float = 1e-5,
         out = run(src_p, tgt_p, jnp.float32(eps))
         return np.asarray(out)[:n_t]
 
+    if shard == "ring":
+        src_p = pad_cloud_for_ring(src, n_dev, fields.BLOCK_S)
+        tgt_p = _pad_to(tgt, n_dev * fields.BLOCK_T, fields._SENTINEL)
+        out = _ring_field(mesh)(src_p, tgt_p, jnp.float32(eps))
+        return np.asarray(out)[:n_t]
+
     raise ValueError(f"unknown shard mode {shard!r}")
 
 
-def potential_sharded(sources, targets, mesh: Mesh) -> np.ndarray:
-    """Lattice potential with sources sharded + psum (the global sign fix at
-    multi-chip scale)."""
+def pad_cloud_for_ring(pts: np.ndarray, n_dev: int, block: int) -> np.ndarray:
+    """Pad an (N, 6) cloud so each of n_dev shards is a whole number of
+    kernel blocks; padding rows are sentinel-position / zero-moment so they
+    contribute exactly nothing."""
+    pts = np.asarray(pts, np.float32)
+    n = len(pts)
+    out = _pad_to(pts, n_dev * block, 0.0)
+    out[n:, :3] = fields._SENTINEL
+    out[n:, 3:] = 0.0
+    return out
+
+
+def _ring_field(mesh: Mesh, eps_kind: str = "field"):
+    """shard_map'd ring kernel: sources AND targets both sharded over the
+    mesh axis; source shards rotate over ICI (ppermute) until every target
+    shard has integrated every source. Per-device memory is O(N/D).
+
+    Operates on pre-padded arrays (rows a multiple of n_dev * BLOCK); the
+    output stays sharded like the targets, so callers composing further
+    sharded steps never gather to one chip.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+    @partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(axis, None), P(axis, None), P()),
+        out_specs=P(axis, None),
+    )
+    def run(src_shard, tgt_shard, eps_):
+        def body(i, carry):
+            E, src_cur = carry
+            E = E + fields._field_grad_padded(src_cur, tgt_shard, eps_)
+            src_cur = jax.lax.ppermute(src_cur, axis, perm)
+            return (E, src_cur)
+
+        E0 = jnp.zeros((tgt_shard.shape[0], 3), jnp.float32)
+        E, _ = jax.lax.fori_loop(0, n_dev, body, (E0, src_shard))
+        return E
+
+    return run
+
+
+def potential_sharded(sources, targets, mesh: Mesh,
+                      shard: str = "sources") -> np.ndarray:
+    """Lattice potential at multi-chip scale (the global sign fix).
+
+    shard="sources": source shards + replicated targets + psum — right when
+    the target lattice is tiny (the 10^3 sign-fix grid). shard="ring":
+    sources and targets both sharded, source shards rotate over ICI — right
+    when targets are also a big cloud."""
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     src = np.asarray(sources, np.float32)
     tgt = np.asarray(targets, np.float32)[:, :3]
     n_t = len(tgt)
-    src_p = _pad_to(src, n_dev * fields.BLOCK_S, 0.0)
-    src_p[len(src):, :3] = fields._SENTINEL
-    src_p[len(src):, 3:] = 0.0
+    src_p = pad_cloud_for_ring(src, n_dev, fields.BLOCK_S)
+
+    if shard == "ring":
+        tgt_p = _pad_to(tgt, n_dev * fields.BLOCK_T, fields._SENTINEL)
+        perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+        @partial(
+            jax.shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(axis, None), P(axis, None)),
+            out_specs=P(axis),
+        )
+        def run_ring(src_shard, tgt_shard):
+            def body(i, carry):
+                phi, src_cur = carry
+                phi = phi + fields._potential_padded(src_cur, tgt_shard)
+                src_cur = jax.lax.ppermute(src_cur, axis, perm)
+                return (phi, src_cur)
+
+            phi0 = jnp.zeros((tgt_shard.shape[0],), jnp.float32)
+            phi, _ = jax.lax.fori_loop(0, n_dev, body, (phi0, src_shard))
+            return phi
+
+        return np.asarray(run_ring(src_p, tgt_p))[:n_t]
+
     tgt_p = _pad_to(tgt, fields.BLOCK_T, fields._SENTINEL)
 
     @partial(
@@ -118,19 +201,27 @@ def potential_sharded(sources, targets, mesh: Mesh) -> np.ndarray:
     return np.asarray(run(src_p, tgt_p))[:n_t]
 
 
-def interaction_accumulate_sharded(pts, signs, mesh: Mesh, eps: float = 1e-5):
-    """acc_i = sum_j sign_j * I_ij with sources sharded over the mesh — the
-    distributed building block for diffuse re-votes on clouds that exceed one
-    chip (each chip sees all targets, psum over source shards)."""
+def interaction_accumulate_sharded(pts, signs, mesh: Mesh, eps: float = 1e-5,
+                                    shard: str = "ring"):
+    """acc_i = sum_j sign_j * I_ij with the cloud sharded over the mesh —
+    the distributed building block for diffuse re-votes on clouds that
+    exceed one chip. shard="ring" (default) keeps per-chip memory at
+    O(N/D): both the signed sources and the targets are sharded and source
+    shards rotate over ICI. shard="sources" replicates the targets and
+    psum-reduces the partial fields."""
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     pts = np.asarray(pts, np.float32)
     n = len(pts)
     signed = pts.copy()
     signed[:, 3:6] *= np.asarray(signs, np.float32)[:, None]
-    src_p = _pad_to(signed, n_dev * fields.BLOCK_S, 0.0)
-    src_p[n:, :3] = fields._SENTINEL
-    src_p[n:, 3:] = 0.0
+    src_p = pad_cloud_for_ring(signed, n_dev, fields.BLOCK_S)
+
+    if shard == "ring":
+        tgt_p = _pad_to(pts[:, :3], n_dev * fields.BLOCK_T, fields._SENTINEL)
+        E = np.asarray(_ring_field(mesh)(src_p, tgt_p, jnp.float32(eps)))[:n]
+        return (E * pts[:, 3:6]).sum(-1)
+
     tgt_p = _pad_to(pts, fields.BLOCK_T, fields._SENTINEL)
 
     @partial(
@@ -157,6 +248,10 @@ def greedy_sign_sequence_sharded(pts, mesh: Mesh, starting_point: int = 0,
     clouds whose O(N) per-step state / O(N^2) work exceeds one chip — the
     sequential decision chain is preserved exactly (same flips as the
     single-device scan). Returns (acc, sign) on the host.
+
+    Memory: every array is sharded — each chip holds N/D rows of the cloud
+    and its accumulator shard. Nothing is replicated; the chosen point's
+    (6,) row is broadcast from its owner with one psum per step.
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
@@ -172,18 +267,24 @@ def greedy_sign_sequence_sharded(pts, mesh: Mesh, starting_point: int = 0,
 
     @partial(
         jax.shard_map, mesh=mesh, check_vma=False,
-        in_specs=(P(axis, None), P(axis), P(), P()),
+        in_specs=(P(axis, None), P(axis), P()),
         out_specs=(P(axis), P(axis)),
     )
-    def run(pts_shard, valid_shard, full_pts, start):
+    def run(pts_shard, valid_shard, start):
         m = pts_shard.shape[0]
         me = jax.lax.axis_index(axis)
         base = me * m                                     # my global row offset
         pos, nrm = pts_shard[:, :3], pts_shard[:, 3:6]
 
-        def column(c):
-            """Interaction of global point c at my target shard."""
-            src = full_pts[c]
+        def fetch_row(c):
+            """Owner of global row c broadcasts its (6,) point via psum."""
+            local = (c >= base) & (c < base + m)
+            lc = jnp.clip(c - base, 0, m - 1)
+            row = jnp.where(local, pts_shard[lc], jnp.zeros((6,), jnp.float32))
+            return jax.lax.psum(row, axis)
+
+        def column(src):
+            """Interaction of source point src (6,) at my target shard."""
             R = src[:3][None, :] - pos
             r2 = jnp.sum(R * R, axis=-1)
             zero = r2 == 0.0
@@ -232,12 +333,12 @@ def greedy_sign_sequence_sharded(pts, mesh: Mesh, starting_point: int = 0,
             lc = jnp.clip(c - base, 0, m - 1)
             sign = jnp.where(local, sign.at[lc].set(jnp.where(was_visited, sign[lc], s)), sign)
             visited = jnp.where(local, visited.at[lc].set(True), visited)
-            acc = acc + upd * column(c)
+            acc = acc + upd * column(fetch_row(c))
             return (acc, sign, visited), None
 
         start_local = (start >= base) & (start < base + m)
         sl = jnp.clip(start - base, 0, m - 1)
-        acc0 = column(start)
+        acc0 = column(fetch_row(start))
         sign0 = jnp.where(start_local,
                           jnp.zeros((m,), jnp.float32).at[sl].set(1.0),
                           jnp.zeros((m,), jnp.float32))
@@ -248,7 +349,7 @@ def greedy_sign_sequence_sharded(pts, mesh: Mesh, starting_point: int = 0,
         )
         return acc, sign
 
-    acc, sign = run(pts_pad, valid, jnp.asarray(pts_pad), jnp.int32(starting_point))
+    acc, sign = run(pts_pad, valid, jnp.int32(starting_point))
     return np.asarray(acc)[:n], np.asarray(sign)[:n]
 
 
