@@ -29,32 +29,32 @@ def run(opts):
     export_path = Path(opts.export_dir)
     export_path.mkdir(exist_ok=True, parents=True)
 
-    with MyTimer("load pc", count=False):
+    with MyTimer("load point cloud", count=False):
         input_pc = load_xyz(opts.pc, append_normals=False)
     print(input_pc.shape)
 
     input_pc, transform = Transform.trans(input_pc)
 
     if opts.estimate_normals:
-        with MyTimer("estimating normals"):
+        with MyTimer("estimate unoriented normals"):
             input_pc = estimate_normals(input_pc, max_nn=opts.n)
 
     models = [load_model_from_file(m) for m in opts.models]
 
-    with MyTimer("divide patches"):
+    with MyTimer("voxel patching"):
         all_patches = divide_pc(input_pc[:, :3], opts.number_parts,
                                 min_patch=opts.minimum_points_per_patch)
 
-    with MyTimer("filter patches"):
+    with MyTimer("curvature filter"):
         patch_indices = fix_n_filter(input_pc, all_patches, opts.curvature_threshold)
 
     print(f"number of patches {len(patch_indices)}/{len(all_patches)}")
 
-    with MyTimer("orient center"):
+    with MyTimer("centroid init"):
         for _, p in patch_indices:
             input_pc[p] = orient_center_np(input_pc[p])
 
-    with MyTimer("find reps"):
+    with MyTimer("pick representatives"):
         rng = np.random.default_rng(1)
         represent = []
         for p in all_patches:
@@ -64,7 +64,7 @@ def run(opts):
     pc_probs = np.ones(len(input_pc), dtype=np.float32)
     key = jax.random.PRNGKey(1)
 
-    with MyTimer("network orientation"):
+    with MyTimer("network correction"):
         rep_sets = [represent[i][0] for i, _ in patch_indices] if models else []
         # the reference runs opts.iters sequential re-votes per patch; the
         # patches are independent, so each round is one batched ensemble pass
@@ -77,16 +77,16 @@ def run(opts):
                 pc_probs[reps] = probs
                 input_pc[reps[flip], 3:6] *= -1
 
-    with MyTimer("propagating field"):
+    with MyTimer("dipole propagation"):
         input_pc = propagate.strongest_field_propagation_reps(
             input_pc, represent, diffuse=True
         )
 
-    with MyTimer("fix global orientation"):
+    with MyTimer("global sign fix"):
         if fields.measure_mean_potential(input_pc) < 0:
             input_pc[:, 3:6] *= -1
 
-    with MyTimer("exporting result", count=False):
+    with MyTimer("export oriented cloud", count=False):
         export_pc(transform.inverse(input_pc), export_path / "final_result.xyz")
 
     MyTimer.print_total_time()

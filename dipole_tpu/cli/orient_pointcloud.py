@@ -29,22 +29,22 @@ def run(opts):
 
     pc = load_xyz(opts.pc)
     if opts.estimate_normals:
-        with MyTimer("estimating normals"):
+        with MyTimer("estimate unoriented normals"):
             pc = estimate_normals(pc, max_nn=opts.n)
     input_pc, transform = Transform.trans(pc)
 
     models = [load_model_from_file(m) for m in opts.models]
 
-    with MyTimer("divide patches"):
+    with MyTimer("voxel patching"):
         all_patches = divide_pc(input_pc[:, :3], opts.number_parts,
                                 min_patch=opts.minimum_points_per_patch)
 
-    with MyTimer("filter patches"):
+    with MyTimer("curvature filter"):
         patch_indices = fix_n_filter(input_pc, all_patches, opts.curvature_threshold)
 
     print(f"number of patches {len(patch_indices)}")
 
-    with MyTimer("orient center"):
+    with MyTimer("centroid init"):
         for _, p in patch_indices:
             input_pc[p] = orient_center_np(input_pc[p])
 
@@ -74,13 +74,13 @@ def run(opts):
                     input_pc[pidx[flip], 3:6] *= -1
 
             if it % opts.propagation_iters == 0 and (it != 0 or opts.propagation_iters == 1):
-                with MyTimer("propagation"):
+                with MyTimer("patch propagation"):
                     input_pc = propagate_now()
 
-    with MyTimer("propagation"):
+    with MyTimer("patch propagation"):
         input_pc = propagate_now()
 
-    with MyTimer("fix global orientation"):
+    with MyTimer("global sign fix"):
         if fields.measure_mean_potential(input_pc) < 0:
             input_pc[:, 3:6] *= -1
 

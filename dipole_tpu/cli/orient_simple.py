@@ -24,25 +24,25 @@ def run(opts):
     export_path.mkdir(exist_ok=True, parents=True)
     MyTimer = timer_factory()
 
-    with MyTimer("load pc", count=False):
+    with MyTimer("load point cloud", count=False):
         input_pc = load_xyz(opts.pc)
 
     if opts.estimate_normals:
-        with MyTimer("Estimating normals"):
+        with MyTimer("estimate unoriented normals"):
             input_pc = estimate_normals(input_pc, max_nn=30)
 
     input_pc, transform = Transform.trans(input_pc)
 
-    with MyTimer("propagating field"):
+    with MyTimer("dipole propagation"):
         input_pc = propagate.strongest_field_propagation_points(
             input_pc, diffuse=opts.diffuse, starting_point=0
         )
 
-    with MyTimer("fix global orientation"):
+    with MyTimer("global sign fix"):
         if fields.measure_mean_potential(input_pc) < 0:
             input_pc[:, 3:6] *= -1
 
-    with MyTimer("exporting result", count=False):
+    with MyTimer("export oriented cloud", count=False):
         export_pc(transform.inverse(input_pc), export_path / "final_result.xyz")
 
     MyTimer.print_total_time()

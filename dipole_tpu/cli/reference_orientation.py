@@ -17,19 +17,19 @@ from dipole_tpu.utils.timing import timer_factory
 
 def run(opts):
     MyTimer = timer_factory()
-    with MyTimer("load input pc", count=False):
+    with MyTimer("load input cloud", count=False):
         input_pc = load_xyz(opts.input, append_normals=False)
-    with MyTimer("load reference pc", count=False):
+    with MyTimer("load reference cloud", count=False):
         ref_pc = load_xyz(opts.reference)
 
     if input_pc.shape[-1] == 3 and opts.estimate_normals:
-        with MyTimer("estimating normals"):
+        with MyTimer("estimate unoriented normals"):
             input_pc = estimate_normals(input_pc, max_nn=opts.n)
 
-    with MyTimer("calculating field"):
+    with MyTimer("evaluate reference field"):
         input_pc = reference_field(ref_pc, input_pc)
 
-    with MyTimer("export referenced normals", count=False):
+    with MyTimer("export transferred normals", count=False):
         export_pc(input_pc, opts.output)
 
     MyTimer.print_total_time()
@@ -42,10 +42,11 @@ def get_parser():
     parser.add_argument("--reference", type=Path, required=True)
     parser.add_argument("--output", type=Path, required=True)
     parser.add_argument("--n", type=int, default=30,
-                        help="size of knn for normal estimation")
+                        help="neighborhood size for PCA normal estimation")
     parser.add_argument("--estimate_normals", action="store_true",
-                        help="estimate normal using pca, or use the field for "
-                             "normal direction as well as orientation")
+                        help="compute unoriented PCA normals on the input "
+                             "first; without this flag the reference field "
+                             "supplies both the direction and the sign")
     return parser
 
 

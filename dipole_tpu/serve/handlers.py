@@ -87,8 +87,8 @@ def dispatch(function_name: str, xyz_data: np.ndarray, config: dict,
     if function_name != "hoppe_estimate" and len(xyz_data) < max_nn:
         if log is not None:
             log(
-                f"Point number is less than max_nn. {len(xyz_data)} points "
-                f"requested, but at least {max_nn} points required.",
+                f"cloud too small for normal estimation ({len(xyz_data)} "
+                f"points < max_nn={max_nn}); returning placeholder normals",
                 mode="warning",
             )
         out = np.ones((len(xyz_data), 6))

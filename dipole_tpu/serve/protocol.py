@@ -45,7 +45,24 @@ def read_request(conn: socket.socket):
 
 
 def recv_exact_header(conn: socket.socket) -> bytes:
-    return conn.recv(REQUEST_BUFFER_SIZE)
+    """Accumulate recv chunks until the buffer parses as one JSON document.
+
+    TCP may legally fragment the header; a single recv() (what the reference
+    does at socket_server_para.py:141) would drop such clients. Parsing as
+    the stop condition keeps byte-compatibility: well-behaved clients send
+    exactly one JSON object and no payload bytes until they see the OK."""
+    buf = b""
+    while len(buf) < REQUEST_BUFFER_SIZE:
+        chunk = conn.recv(REQUEST_BUFFER_SIZE - len(buf))
+        if not chunk:
+            break
+        buf += chunk
+        try:
+            json.loads(buf)
+            return buf
+        except json.JSONDecodeError:
+            continue
+    return buf
 
 
 def send_result(conn: socket.socket, result: np.ndarray) -> None:

