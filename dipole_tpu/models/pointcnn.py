@@ -146,18 +146,13 @@ def _interpolate(x, pos_src, pos_dst, k=16):
     return jnp.sum(x[idx] * w[..., None], axis=1) / jnp.sum(w, axis=1, keepdims=True)
 
 
-@partial(jax.jit, static_argnames=("m1", "m2"))
-def _forward(p, pc, valid, key, pool, m1: int, m2: int):
-    """Padded forward: pc (Npad, 6), valid (Npad,) -> logits (Npad, 2).
-
-    m1/m2 are the *padded* FPS sizes (static, per bucket); the number of
-    genuinely selected points is ceil(pool * n_valid), tracked via validity
-    masks so padded rows never influence real outputs."""
+def _canonicalize(pc, valid):
+    """Center, PCA-rotate (xyz scaled by sqrt(largest eig), normals rotated
+    unscaled) — reference pointcnn.py:36-38, util.py:503-517. Returns the
+    (Npad, 6) network input and the (Npad, 3) positions (sentinel rows on
+    padding)."""
     w = valid.astype(jnp.float32)
     cnt = jnp.maximum(w.sum(), 1.0)
-
-    # canonicalize: center, PCA-rotate (xyz scaled by sqrt(largest eig),
-    # normals rotated unscaled) — reference pointcnn.py:36-38, util.py:503-517
     xyz = pc[:, :3]
     mean = (xyz * w[:, None]).sum(0) / cnt
     xyz = xyz - mean
@@ -168,19 +163,22 @@ def _forward(p, pc, valid, key, pool, m1: int, m2: int):
     nrm = jnp.dot(pc[:, 3:6], V, precision=_HI)
     pos1 = jnp.where(valid[:, None], rot, _SENTINEL)
     x = jnp.concatenate([pos1, nrm], axis=1)
+    return x, pos1
 
-    k1, k2 = jax.random.split(key)
 
+def _forward_core(p, x, pos1, valid, pool, m1: int, m2: int, s1, s2):
+    """Network composition from the canonicalized input onward; s1/s2 are
+    the FPS start indices for the two pooling stages."""
     # encoder (reference models/pointcnn.py:63-78)
     x = jax.nn.relu(_xconv(p, "encoder.conv1", x, pos1, 16, 6, 32))
 
-    sel1 = _fps_masked(pos1, valid, m1, _random_valid_index(k1, valid))
+    sel1 = _fps_masked(pos1, valid, m1, s1)
     valid2 = jnp.arange(m1) < jnp.ceil(pool * valid.sum()).astype(jnp.int32)
     x = x[sel1]
     pos2 = jnp.where(valid2[:, None], pos1[sel1], _SENTINEL)
     x = jax.nn.relu(_xconv(p, "encoder.conv2", x, pos2, 20, 32, 64))
 
-    sel2 = _fps_masked(pos2, valid2, m2, _random_valid_index(k2, valid2))
+    sel2 = _fps_masked(pos2, valid2, m2, s2)
     valid3 = jnp.arange(m2) < jnp.ceil(pool * valid2.sum()).astype(jnp.int32)
     x = x[sel2]
     pos3 = jnp.where(valid3[:, None], pos2[sel2], _SENTINEL)
@@ -194,6 +192,30 @@ def _forward(p, pc, valid, key, pool, m1: int, m2: int):
     x = _interpolate(x, pos2, pos1)
     x = jax.nn.relu(_xconv(p, "decoder.conv3", x, pos1, 20, 64, 32))
     return _linear(p, "decoder.lin4", x)
+
+
+@partial(jax.jit, static_argnames=("m1", "m2"))
+def _forward(p, pc, valid, key, pool, m1: int, m2: int):
+    """Padded forward: pc (Npad, 6), valid (Npad,) -> logits (Npad, 2).
+
+    m1/m2 are the *padded* FPS sizes (static, per bucket); the number of
+    genuinely selected points is ceil(pool * n_valid), tracked via validity
+    masks so padded rows never influence real outputs."""
+    x, pos1 = _canonicalize(pc, valid)
+    k1, k2 = jax.random.split(key)
+    s1 = _random_valid_index(k1, valid)
+    valid2 = jnp.arange(m1) < jnp.ceil(pool * valid.sum()).astype(jnp.int32)
+    s2 = _random_valid_index(k2, valid2)
+    return _forward_core(p, x, pos1, valid, pool, m1, m2, s1, s2)
+
+
+@partial(jax.jit, static_argnames=("m1", "m2"))
+def _forward_pinned(p, x, pos1, pool, m1: int, m2: int, s1, s2):
+    """Parity/testing entry: unpadded canonicalized input with pinned FPS
+    starts — makes the composition bit-for-bit comparable against the torch
+    reference run under tools/torch_shims with the same starts."""
+    valid = jnp.ones((x.shape[0],), bool)
+    return _forward_core(p, x, pos1, valid, pool, m1, m2, s1, s2)
 
 
 class PointCNNParams:

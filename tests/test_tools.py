@@ -39,3 +39,26 @@ def test_server_warmup_tiny():
 
     # tiny sizes, subset of functions — must not raise
     warmup([64], functions=("simple_estimate", "hoppe_estimate"))
+
+
+def test_make_shape_generators():
+    from tools import make_shape
+
+    for name in ["lion", "vase", "alien"]:
+        pc = make_shape.SHAPES[name](2000, 0)
+        assert pc.shape == (2000, 6)
+        n = np.linalg.norm(pc[:, 3:], axis=1)
+        np.testing.assert_allclose(n, 1.0, atol=1e-5)
+        assert np.isfinite(pc).all()
+
+
+def test_metaball_normals_point_outward():
+    """GT normals of the blobby shapes must point along decreasing field,
+    i.e. a small step along the normal lowers F below iso."""
+    from tools import make_shape
+
+    pc = make_shape.metaball_cloud(500, make_shape.LION_BALLS, seed=1)
+    F0, _ = make_shape._metaball(pc[:, :3], make_shape.LION_BALLS)
+    F1, _ = make_shape._metaball(pc[:, :3] + 0.02 * pc[:, 3:],
+                                 make_shape.LION_BALLS)
+    assert (F1 < F0).mean() > 0.99

@@ -62,3 +62,37 @@ def test_analysis_get_segs(tmp_path):
     table = analysis.self_interaction_table(segs)
     assert len(table) == 2
     assert np.isfinite(table[0]["self_interaction_all"])
+
+
+def test_isosurface_sphere_analytic():
+    """Marching-tetrahedra correctness: the 0.25-level set of x^2+y^2+z^2
+    must be the radius-0.5 sphere, to within one lattice cell."""
+    from dipole_tpu.vis import isosurface
+
+    lin = np.linspace(-1, 1, 33)
+    X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+    F = X**2 + Y**2 + Z**2
+    verts, faces = isosurface(F, (lin, lin, lin), 0.25)
+    assert len(verts) > 500
+    assert faces.shape == (len(verts) // 3, 3)
+    r = np.linalg.norm(verts, axis=1)
+    spacing = lin[1] - lin[0]
+    assert np.abs(r - 0.5).max() < spacing
+    # surface area of the triangle soup ~ 4*pi*0.25
+    tri = verts.reshape(-1, 3, 3)
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1).sum()
+    assert abs(area - 4 * np.pi * 0.25) < 0.15
+
+
+def test_draw_field_isosurface_writes_ply(tmp_path):
+    from dipole_tpu.vis import draw_field_isosurface
+    from tests.conftest import make_sphere
+
+    pc = make_sphere(300, seed=3) * 0.5
+    path = tmp_path / "iso.ply"
+    verts, faces, colors = draw_field_isosurface(pc, path, res=24, levels=6)
+    assert path.exists() and path.stat().st_size > 200
+    assert len(verts) > 0 and len(colors) == len(verts)
+    head = path.read_bytes()[:200]
+    assert b"ply" in head and b"element vertex" in head

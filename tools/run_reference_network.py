@@ -1,0 +1,134 @@
+"""Run the torch reference's full network pipeline (orient_pointcloud) on the
+golden ok config and compare everything pairwise.
+
+The committed golden file (/root/reference/demos/ok/final_result.xyz) was
+produced on the author's CUDA machine years ago; FPS random starts, LAPACK
+eigenvector signs and torch RNG all differ across builds, so bit-reproducing
+it is not possible from any rebuild. This harness quantifies that: it runs
+the ACTUAL reference code (CPU torch, C++ deps shimmed via tools/torch_shims,
+fork's divide_pc regression restored to upstream semantics) on the exact
+golden config and prints sign agreements of
+    fresh-reference vs golden, ours vs fresh-reference, ours vs golden,
+    and each vs ground truth —
+the attribution evidence for BASELINE.md.
+
+Usage: python tools/run_reference_network.py [--skip-ours] [--seed N]
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools import torch_shims  # noqa: E402
+
+torch_shims.install()
+
+import torch  # noqa: E402
+
+import util as ref_util  # noqa: E402
+
+
+def _upstream_divide_pc(pc_in, n_part, ranges=(-1.5, 1.5), min_patch=0):
+    """Upstream (galmetzer) divide_pc semantics: voxel divide, merge small
+    patches, return flat index tensors. The fork dropped the merge_nodes
+    call (util.py:338-341) which crashes orient_pointcloud.py:27; the golden
+    file predates that regression (SURVEY §7 'bugs not to replicate')."""
+    indices, ijk = ref_util._divide_pc(pc_in, n_part, ranges, min_patch)
+    indices, ijk = ref_util.merge_nodes(pc_in, indices, ijk, min_patch)
+    return indices
+
+
+ref_util.divide_pc = _upstream_divide_pc
+
+import orient_pointcloud as ref_op  # noqa: E402
+
+
+GOLDEN = "/root/reference/demos/ok/final_result.xyz"
+DATA = "/root/reference/data/ok.xyz"
+PRE = "/root/reference/pre_trained"
+
+
+def golden_opts(export_dir: Path) -> SimpleNamespace:
+    """The exact config of demos/ok/opts.txt (the golden run)."""
+    return SimpleNamespace(
+        pc=Path(DATA),
+        export_dir=export_dir,
+        models=[Path(PRE) / "hands2.pt", Path(PRE) / "hands.pt",
+                Path(PRE) / "manmade.pt"],
+        iters=5,
+        propagation_iters=4,
+        number_parts=41,
+        minimum_points_per_patch=100,
+        curvature_threshold=0.0,
+        diffuse=True,
+        weighted_prop=True,
+        estimate_normals=False,
+        n=50,
+    )
+
+
+def load6(path) -> np.ndarray:
+    rows = []
+    for line in open(path):
+        t = line.split()
+        if len(t) >= 6:
+            rows.append([float(v) for v in t[:6]])
+    return np.asarray(rows, np.float64)
+
+
+def agreement(a: np.ndarray, b: np.ndarray) -> float:
+    s = (a[:, 3:6] * b[:, 3:6]).sum(1) > 0
+    return float(max(s.mean(), 1 - s.mean()))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-ours", action="store_true")
+    ap.add_argument("--seed", type=int, default=1,
+                    help="torch.manual_seed (reference pins 1 at import)")
+    ap.add_argument("--out", type=Path, default=Path("/tmp/ref_network_ok"))
+    args = ap.parse_args(argv)
+
+    args.out.mkdir(parents=True, exist_ok=True)
+    torch.manual_seed(args.seed)
+    t0 = time.perf_counter()
+    ref_op.run(golden_opts(args.out))
+    t_ref = time.perf_counter() - t0
+    fresh = load6(args.out / "final_result.xyz")
+    print(f"\nfresh reference run: {t_ref:.1f}s")
+
+    golden = load6(GOLDEN)
+    gt = load6(DATA)
+    print(f"fresh-ref vs golden : {agreement(fresh, golden):.6f}")
+    print(f"fresh-ref vs GT     : {agreement(fresh, gt):.6f}")
+    print(f"golden    vs GT     : {agreement(golden, gt):.6f}")
+
+    if not args.skip_ours:
+        from dipole_tpu.cli import orient_pointcloud as ours_op
+
+        ours_dir = args.out / "ours"
+        ours_dir.mkdir(exist_ok=True)
+        t0 = time.perf_counter()
+        ours_op.main([
+            "--pc", DATA, "--export_dir", str(ours_dir),
+            "--models", f"{PRE}/hands2.pt", f"{PRE}/hands.pt",
+            f"{PRE}/manmade.pt",
+            "--iters", "5", "--propagation_iters", "4",
+            "--number_parts", "41", "--minimum_points_per_patch", "100",
+            "--curvature_threshold", "0.0", "--diffuse", "--weighted_prop",
+        ])
+        t_ours = time.perf_counter() - t0
+        ours = load6(ours_dir / "final_result.xyz")
+        print(f"\nours run: {t_ours:.1f}s  (speedup vs fresh ref: {t_ref/t_ours:.1f}x)")
+        print(f"ours vs fresh-ref   : {agreement(ours, fresh):.6f}")
+        print(f"ours vs golden      : {agreement(ours, golden):.6f}")
+        print(f"ours vs GT          : {agreement(ours, gt):.6f}")
+
+
+if __name__ == "__main__":
+    main()
