@@ -258,32 +258,49 @@ def _forward_batched(p, pc, valid, keys, pool, m1: int, m2: int):
     )(pc, valid, keys)
 
 
+# Widest vmapped batch per compiled program. Wider batches amortize dispatch
+# better but the program size grows linearly with the batch width; at 256-wide
+# x 1024-point buckets the backend's remote compiler falls over (HTTP 500,
+# vase demo) — 32 keeps every program comfortably compilable and still gets
+# within ~15% of the wide-batch warm throughput.
+MAX_FORWARD_BATCH = 32
+
+
 def pointcnn_logits_batched(params, pool: float, patches, key=None,
                             bucket=None) -> list:
     """Run the forward over many ragged patches with few compiled programs:
-    patches are padded to a shared power-of-two bucket and vmapped; the batch
-    axis is padded to a power of two. Returns a list of (n_i, 2) arrays."""
+    patches are padded to a shared power-of-two bucket and vmapped in chunks
+    of at most MAX_FORWARD_BATCH (each chunk width a power of two, so chunks
+    reuse the same compiled program). Returns a list of (n_i, 2) arrays."""
     patches = [np.asarray(p, np.float32) for p in patches]
     if not patches:
         return []
     nb = bucket or _bucket(max(len(p) for p in patches))
-    B = len(patches)
-    Bp = _bucket(B, base=8)
-    pc = np.zeros((Bp, nb, 6), np.float32)
-    valid = np.zeros((Bp, nb), bool)
-    for i, p in enumerate(patches):
-        pc[i, : len(p)] = p
-        valid[i, : len(p)] = True
     if key is None:
         key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, Bp)
     m1 = int(-(-nb * pool // 1))
     m2 = int(-(-m1 * pool // 1))
-    out = np.asarray(
-        _forward_batched(params, jnp.asarray(pc), jnp.asarray(valid), keys,
-                         jnp.float32(pool), m1, m2)
-    )
-    return [out[i, : len(p)] for i, p in enumerate(patches)]
+    keys = jax.random.split(key, len(patches))
+
+    results: list = [None] * len(patches)
+    for lo in range(0, len(patches), MAX_FORWARD_BATCH):
+        chunk = patches[lo:lo + MAX_FORWARD_BATCH]
+        Bp = _bucket(len(chunk), base=8)
+        pc = np.zeros((Bp, nb, 6), np.float32)
+        valid = np.zeros((Bp, nb), bool)
+        for i, p in enumerate(chunk):
+            pc[i, : len(p)] = p
+            valid[i, : len(p)] = True
+        ck = jnp.concatenate(
+            [keys[lo:lo + len(chunk)],
+             jnp.tile(keys[lo:lo + 1], (Bp - len(chunk), 1))], axis=0)
+        out = np.asarray(
+            _forward_batched(params, jnp.asarray(pc), jnp.asarray(valid), ck,
+                             jnp.float32(pool), m1, m2)
+        )
+        for i, p in enumerate(chunk):
+            results[lo + i] = out[i, : len(p)]
+    return results
 
 
 def pointcnn_logits(params, pool: float, patch, key=None, bucket=None) -> np.ndarray:

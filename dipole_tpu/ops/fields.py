@@ -102,8 +102,9 @@ def _field_tile_sum(tgt_pos: jnp.ndarray, src: jnp.ndarray, eps) -> jnp.ndarray:
     denom = r * r2 + eps                                   # |R|^3 + eps
     c = jnp.einsum("sk,tsk->ts", p, R, precision=_HI)                     # p_j . R_ij
     safe_r2 = jnp.where(zero, 1.0, r2)
-    a = jnp.where(zero, 0.0, 3.0 * c / (safe_r2 * denom))  # coeff of R
-    b = jnp.where(zero, 0.0, 1.0 / denom)                  # coeff of p
+    t = 1.0 / (safe_r2 * denom)                            # one divide per pair
+    a = jnp.where(zero, 0.0, 3.0 * c * t)                  # coeff of R
+    b = jnp.where(zero, 0.0, safe_r2 * t)                  # coeff of p (1/denom)
     term_R = jnp.einsum("ts,tsk->tk", a, R, precision=_HI)
     term_p = jnp.einsum("ts,sk->tk", b, p, precision=_HI)
     return -(term_R - term_p)                              # E = -(sum)

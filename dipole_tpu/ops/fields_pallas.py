@@ -59,8 +59,12 @@ def _pair_terms(tt, s_chunk, eps):
     denom = r * r2 + eps
     c = px * Rx + py * Ry + pz * Rz
     safe_r2 = jnp.where(zero, 1.0, r2)
-    a = jnp.where(zero, 0.0, 3.0 * c / (safe_r2 * denom))
-    b = jnp.where(zero, 0.0, 1.0 / denom)
+    # one reciprocal serves both coefficients: t = 1/(r2*denom), so
+    # a = 3c/(r2*denom) = 3c*t and b = 1/denom = r2*t — the divide unit is
+    # the kernel's bottleneck (see BASELINE.md roofline)
+    t = 1.0 / (safe_r2 * denom)
+    a = jnp.where(zero, 0.0, 3.0 * c * t)
+    b = jnp.where(zero, 0.0, safe_r2 * t)
     # E = -(sum a*R - sum b*p)  ->  acc = sum (b*p - a*R)
     ex = jnp.sum(b * px - a * Rx, axis=1, keepdims=True)
     ey = jnp.sum(b * py - a * Ry, axis=1, keepdims=True)
@@ -217,7 +221,8 @@ def _dipole_imatrix_kernel(t_ref, s_ref, eps_ref, o_ref):
     Rn = nx * Rx + ny * Ry + nz * Rz
     pn = px * nx + py * ny + pz * nz
     safe_r2 = jnp.where(zero, 1.0, r2)
-    I = -(3.0 * c * Rn / (safe_r2 * denom) - pn / denom)
+    t = 1.0 / (safe_r2 * denom)                  # single divide per pair
+    I = -t * (3.0 * c * Rn - pn * safe_r2)
     I = jnp.where(zero, 0.0, I)
     o_ref[:] = jnp.where(jnp.isfinite(I), I, 0.0)
 
@@ -331,7 +336,8 @@ def _group_kernel(t_ref, s_ref, gid_ref, eps_ref, o_ref):
         Rn = nx * Rx + ny * Ry + nz * Rz
         pn = px * nx + py * ny + pz * nz
         safe_r2 = jnp.where(zero, 1.0, r2)
-        I = -(3.0 * c * Rn / (safe_r2 * denom) - pn / denom)
+        t = 1.0 / (safe_r2 * denom)              # single divide per pair
+        I = -t * (3.0 * c * Rn - pn * safe_r2)
         I = jnp.where(zero, 0.0, I)
         I = jnp.where(jnp.isfinite(I), I, 0.0)   # (T_BLK, S_BLK)
         gcol = jax.lax.broadcasted_iota(jnp.int32, (S_BLK, G), 1)

@@ -63,7 +63,8 @@ def _greedy_kernel(pts_ref, scal_ref, acc_ref, sign_ref):
         Rn = px * Rx + py * Ry + pz * Rz
         pn = spx * px + spy * py + spz * pz
         safe_r2 = jnp.where(zero, 1.0, r2)
-        col = -(3.0 * cdot * Rn / (safe_r2 * denom) - pn / denom)
+        t = 1.0 / (safe_r2 * denom)              # single divide per pair
+        col = -t * (3.0 * cdot * Rn - pn * safe_r2)
         col = jnp.where(zero, 0.0, col)
         return jnp.where(jnp.isfinite(col), col, 0.0)
 

@@ -62,3 +62,16 @@ def test_metaball_normals_point_outward():
     F1, _ = make_shape._metaball(pc[:, :3] + 0.02 * pc[:, 3:],
                                  make_shape.LION_BALLS)
     assert (F1 < F0).mean() > 0.99
+
+
+def test_analysis_walkthrough(tmp_path):
+    """The runnable C44 notebook replacement end-to-end on a subsample."""
+    from tools import analysis_walkthrough
+
+    table = analysis_walkthrough.main(str(tmp_path), n_segments=3,
+                                      n_points=900)
+    assert len(table) == 3
+    assert all(np.isfinite(float(r["self_interaction_all"])) for r in table)
+    assert (tmp_path / "reslog.json").exists()
+    assert (tmp_path / "res0.xyz").exists()
+    assert (tmp_path / "potential_iso.ply").stat().st_size > 100
