@@ -33,8 +33,12 @@ T_BLK = 256
 S_BLK = 512
 _SENTINEL = 1.0e6
 # (8, N) f32 source panel must fit comfortably in ~16 MB VMEM next to the
-# pair-tile intermediates (~4 MB)
-MAX_PALLAS_SOURCES = 262144
+# pair-tile intermediates. Measured on the v5e (tools/crossover_bench.py,
+# 2026-08-16, 65536 targets): pallas/xla GPairs/s = 28.8/21.2 at 131k,
+# 50.0/22.6 at 262k, 37.8/22.7 at 327k, 21.9/22.8 at 393k (VMEM pressure),
+# compile failure at 524k — so the panel pays until ~327k and the XLA
+# streaming path takes over beyond that.
+MAX_PALLAS_SOURCES = 327680
 
 
 def available() -> bool:

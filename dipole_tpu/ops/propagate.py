@@ -50,8 +50,11 @@ __all__ = [
 _HI = jax.lax.Precision.HIGHEST
 
 # Above this point count the N x N interaction matrix no longer pays for
-# itself in HBM; switch to the on-the-fly column kernel.
-MATRIX_LIMIT = 20000
+# itself; switch to the on-the-fly column kernel. Measured on the v5e
+# (tools/crossover_bench.py, 2026-08-16): matrix wins at 8k (0.077 s vs
+# 0.085), on-the-fly wins from 12k up (12k: 0.118 vs 0.141; 20k: 0.163 vs
+# 0.310; 24k: 0.154 vs 0.363) and the padded matrix OOMs HBM at 32k.
+MATRIX_LIMIT = 10000
 
 
 def _bucket(n: int, base: int = 256) -> int:

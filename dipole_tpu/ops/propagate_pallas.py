@@ -25,6 +25,10 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["greedy_sign_sequence_pallas", "MAX_PALLAS_GREEDY"]
 
 _SENTINEL = 1.0e6
+# Bounded by the same VMEM panel budget as fields_pallas.MAX_PALLAS_SOURCES
+# (measured there: panel layouts degrade past ~327k and fail at 524k); the
+# greedy kernel carries an extra live (1, N) accumulator + visited row, so
+# it keeps the more conservative bound.
 MAX_PALLAS_GREEDY = 262144
 _NEG = -3.0e38
 _IMAX = np.int32(2**31 - 1)

@@ -45,8 +45,12 @@ def greedy_crossover(sizes, iters=3):
     prev_winner = None
     for n in sizes:
         pc = _cloud(n)
-        t_mat = _time(lambda: propagate.greedy_sign_sequence(
-            pc, matrix_limit=10**9)[1], iters)
+        try:
+            t_mat = _time(lambda: propagate.greedy_sign_sequence(
+                pc, matrix_limit=10**9)[1], iters)
+        except Exception as e:  # HBM OOM: the matrix simply does not fit
+            print(f"{n:>8} {'OOM':>10} ({type(e).__name__})")
+            t_mat = float("inf")
         t_fly = _time(lambda: propagate.greedy_sign_sequence(
             pc, matrix_limit=0)[1], iters)
         winner = "matrix" if t_mat < t_fly else "on-the-fly"
@@ -68,7 +72,7 @@ def field_crossover(sizes, iters=3):
           "(MAX_PALLAS_SOURCES) ==")
     print(f"{'N src':>8} {'pallas[s]':>10} {'xla[s]':>10} "
           f"{'pallas GP/s':>12} {'xla GP/s':>10}")
-    tgt = _cloud(4096)[:, :3]
+    tgt = _cloud(65536)[:, :3]   # big enough that pair work dwarfs dispatch
     for n in sizes:
         pc = _cloud(n)
         try:
@@ -95,7 +99,9 @@ def main(argv=None):
         gsizes = [8000, 16000, 24000]
         fsizes = [65536, 262144]
     else:
-        gsizes = [4000, 8000, 12000, 16000, 20000, 24000, 32000, 48000]
+        # 32000 pads to a 32768^2 matrix (4.3 GB); the next bucket would
+        # not fit HBM, which is itself part of why a matrix limit exists
+        gsizes = [4000, 8000, 12000, 16000, 20000, 24000, 32000]
         fsizes = [65536, 131072, 262144, 327680, 393216, 524288]
     greedy_crossover(gsizes)
     field_crossover(fsizes)

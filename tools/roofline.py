@@ -28,15 +28,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-K = 256          # chained ops per element
-N = 1 << 22      # elements (16 MiB f32)
+K = 8192         # chained ops per element (big enough that one call's
+                 # compute dwarfs the remote-dispatch latency)
+N = 1 << 21      # elements (8 MiB f32; smaller arrays lose lane occupancy,
+                 # larger ones turn the loop-carried streams HBM-bound)
 
 
 def _rate(fn, x, ops_per_elem, iters=5):
-    y = fn(x)
-    y.block_until_ready()
-    np.asarray(y)
-    t0 = time.perf_counter()
+    np.asarray(fn(x))                 # compile + sync (scalar output: the
+    t0 = time.perf_counter()          # tunnel moves 4 bytes, not the array)
     for _ in range(iters):
         y = fn(x)
     np.asarray(y)
@@ -44,25 +44,30 @@ def _rate(fn, x, ops_per_elem, iters=5):
     return x.size * ops_per_elem / dt
 
 
-@jax.jit
-def fma_chain(x):
-    for _ in range(K):
-        x = x * 1.0000001 + 1e-9
-    return x
+_STREAMS = 8   # independent dependency chains so the unit pipelines fill
+               # (a single chain measures op latency, not throughput)
 
 
-@jax.jit
-def div_chain(x):
-    for _ in range(K):
-        x = 1.02 / (x + 1.0)
-    return x
+def _chained(step):
+    @jax.jit
+    def run(x):
+        xs = tuple(x * (1.0 + 0.001 * i) for i in range(_STREAMS))
+
+        def body(_, xs):
+            return tuple(step(xi) for xi in xs)
+
+        xs = jax.lax.fori_loop(0, K // _STREAMS, body, xs)
+        out = xs[0]
+        for xi in xs[1:]:
+            out = out + xi
+        return jnp.sum(out)
+
+    return run
 
 
-@jax.jit
-def sqrt_chain(x):
-    for _ in range(K):
-        x = jnp.sqrt(x + 1.0001)
-    return x
+fma_chain = _chained(lambda x: x * 1.0000001 + 1e-9)
+div_chain = _chained(lambda x: 1.02 / (x + 1.0))
+sqrt_chain = _chained(lambda x: jnp.sqrt(x + 1.0001))
 
 
 # per-pair op counts of the Pallas field kernel (_pair_terms after the
@@ -88,10 +93,10 @@ def main():
     print(f"pair-rate bounds: serial-unit {serial/1e9:.1f} Gpairs/s | "
           f"bottleneck-unit {parallel/1e9:.1f} Gpairs/s")
 
-    # achieved, same workload class as bench.py
+    # achieved, same workload as bench.py (100k x 100k)
     from dipole_tpu.ops import fields
 
-    pc = np.random.default_rng(1).normal(size=(65536, 6)).astype(np.float32)
+    pc = np.random.default_rng(1).normal(size=(100352, 6)).astype(np.float32)
     pc[:, 3:] /= np.linalg.norm(pc[:, 3:], axis=1, keepdims=True)
     np.asarray(fields.field_grad(pc, pc[:, :3]))
     t0 = time.perf_counter()
@@ -99,9 +104,15 @@ def main():
         out = np.asarray(fields.field_grad(pc, pc[:, :3]))
     dt = (time.perf_counter() - t0) / 3
     achieved = len(pc) ** 2 / dt
-    print(f"achieved field_grad: {achieved/1e9:.1f} Gpairs/s "
+    print(f"achieved field_grad 100k^2: {achieved/1e9:.1f} Gpairs/s "
           f"({achieved/serial*100:.0f}% of serial bound, "
           f"{achieved/parallel*100:.0f}% of bottleneck bound)")
+    print("implied unit utilization at the achieved rate: "
+          f"fma {achieved*PAIR_FMA/r_fma*100:.0f}% | "
+          f"div {achieved*PAIR_DIV/r_div*100:.0f}% | "
+          f"sqrt {achieved*PAIR_SQRT/r_sqrt*100:.0f}% "
+          "(>100% on a unit means the chain benchmark under-measures that "
+          "ceiling; the largest number is the binding unit)")
 
 
 if __name__ == "__main__":
