@@ -94,9 +94,73 @@ def make_batch(key, batch: int, n_points: int, flip_frac: float = 0.4):
         nrm[flip] *= -1
         pcs[b, :, :3] = pts
         pcs[b, :, 3:] = nrm
-        labels[b] = (~flip).astype(np.int32)
+        labels[b] = _canonical_labels((~flip).astype(np.int32))
     valid = np.ones((batch, n_points), bool)
     return jnp.asarray(pcs), jnp.asarray(labels), jnp.asarray(valid)
+
+
+def calibrate_init(params: dict, probe_pc, pool: float = 0.6,
+                   target_std: float = 1.0) -> dict:
+    """LSUV-style init calibration: forward one probe patch stage by stage
+    and rescale each stage's output projection (conv.2 / lin4) so its
+    pre-activation std is ~target_std. Without this the 7-stage composition
+    attenuates multiplicatively — fresh-init logits come out at std ~4e-10
+    and gradients sit at the float32 noise floor, which is why early
+    training runs were stuck at ln 2. Returns the calibrated params dict."""
+    from dipole_tpu.models.pointcnn import (_canonicalize, _fps_masked,
+                                            _interpolate, _xconv)
+
+    params = dict(params)
+    pc = jnp.asarray(np.asarray(probe_pc, np.float32))
+    n = pc.shape[0]
+    valid = jnp.ones((n,), bool)
+    m1 = int(-(-n * pool // 1))
+    m2 = int(-(-m1 * pool // 1))
+    x, pos1 = _canonicalize(pc, valid)
+
+    def scaled(prefix, h):
+        s = float(jnp.std(h))
+        f = target_std / max(s, 1e-30)
+        params[f"{prefix}.weight"] = params[f"{prefix}.weight"] * f
+        params[f"{prefix}.bias"] = params[f"{prefix}.bias"] * f
+        return h * f
+
+    def stage(prefix, h, pos, K, cin, cout):
+        h = _xconv(params, prefix, h, pos, K, cin, cout)
+        return jax.nn.relu(scaled(f"{prefix}.conv.2", h))
+
+    x = stage("encoder.conv1", x, pos1, 16, 6, 32)
+    sel1 = _fps_masked(pos1, valid, m1, 0)
+    pos2 = pos1[sel1]
+    x = stage("encoder.conv2", x[sel1], pos2, 20, 32, 64)
+    sel2 = _fps_masked(pos2, jnp.ones((m1,), bool), m2, 0)
+    pos3 = pos2[sel2]
+    x = stage("encoder.conv3", x[sel2], pos3, 20, 64, 128)
+    x = stage("encoder.conv4", x, pos3, 20, 128, 256)
+    x = stage("decoder.conv1", x, pos3, 20, 256, 128)
+    x = stage("decoder.conv2", _interpolate(x, pos3, pos2), pos2, 20, 128, 64)
+    x = stage("decoder.conv3", _interpolate(x, pos2, pos1), pos1, 20, 64, 32)
+    h = jnp.dot(x, params["decoder.lin4.weight"].T) + params["decoder.lin4.bias"]
+    scaled("decoder.lin4", h)
+    return params
+
+
+def _probe_patch(rng_seed: int = 0, n: int = 128) -> np.ndarray:
+    rng = np.random.default_rng(rng_seed)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pc = np.concatenate([v + rng.normal(scale=0.01, size=(n, 3)), v], axis=1)
+    return pc.astype(np.float32)
+
+
+def _canonical_labels(labels: np.ndarray) -> np.ndarray:
+    """Resolve the per-patch sign gauge: a patch's consistent orientation is
+    only defined up to one global flip (propagation fixes the patch sign
+    later — the network's job is *internal* consistency, reference
+    orient_pointcloud.py:45-54). Pick the gauge with fewer flips (majority
+    'keep'), otherwise the two-class target is exactly symmetric and the
+    Bayes-optimal net degenerates to 50/50."""
+    return labels if labels.mean() >= 0.5 else 1 - labels
 
 
 def loss_fn(params, pc, labels, valid, keys, pool, m1: int, m2: int):
@@ -127,9 +191,15 @@ def param_sharding(mesh: Mesh, params: dict):
 
 
 def make_train_step(mesh: Mesh, pool: float, m1: int, m2: int,
-                    learning_rate: float = 1e-3):
-    """Build (opt, jitted train_step) with DP batch sharding + TP params."""
-    opt = optax.adamw(learning_rate)
+                    learning_rate: float = 1e-3, total_steps: int = 2000):
+    """Build (opt, jitted train_step) with DP batch sharding + TP params.
+    Global-norm clipping + warmup-cosine: the XConv composition has sharp
+    curvature (single-batch overfit runs show loss spikes of 50x without
+    clipping)."""
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, learning_rate, warmup_steps=min(100, total_steps // 10),
+        decay_steps=total_steps, end_value=learning_rate * 0.05)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
 
     def step(params, opt_state, pc, labels, valid, keys):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -160,12 +230,13 @@ def train(steps: int = 20, batch: int = 8, n_points: int = 128,
         mesh = Mesh(np.array(devs[:nd]).reshape(nd, 1), ("data", "model"))
     key = jax.random.PRNGKey(seed)
     key, pk = jax.random.split(key)
-    params = init_params(pk)
+    params = calibrate_init(init_params(pk), _probe_patch(seed, n_points), pool)
     shardings = param_sharding(mesh, params)
     params = {k: jax.device_put(v, shardings[k]) for k, v in params.items()}
     m1 = int(-(-n_points * pool // 1))
     m2 = int(-(-m1 * pool // 1))
-    opt, step_fn = make_train_step(mesh, pool, m1, m2, learning_rate)
+    opt, step_fn = make_train_step(mesh, pool, m1, m2, learning_rate,
+                                   total_steps=steps)
     opt_state = opt.init(params)
     history = []
     for i in range(steps):
@@ -203,7 +274,7 @@ def patches_from_cloud(path, number_parts: int = 30, min_patch: int = 100,
     for idx in divide_pc(gt[:, :3], number_parts, min_patch=min_patch):
         patch = orient_center_np(est[idx])
         labels = ((patch[:, 3:6] * gt[idx, 3:6]).sum(-1) > 0).astype(np.int32)
-        out.append((patch.astype(np.float32), labels))
+        out.append((patch.astype(np.float32), _canonical_labels(labels)))
     return out
 
 
@@ -219,7 +290,7 @@ def _augment(patch, labels, rng):
     lab = labels.copy()
     if rng.random() < 0.5:
         p[:, 3:6] *= -1
-        lab = 1 - lab
+        lab = _canonical_labels(1 - lab)
     return p, lab
 
 
@@ -245,12 +316,14 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
         mesh = Mesh(np.array(devs[:nd]).reshape(nd, 1), ("data", "model"))
     key = jax.random.PRNGKey(seed)
     key, pk = jax.random.split(key)
-    params = init_params(pk)
+    probe = data[0][0][:min(len(data[0][0]), bucket)]
+    params = calibrate_init(init_params(pk), probe, pool)
     shardings = param_sharding(mesh, params)
     params = {k: jax.device_put(v, shardings[k]) for k, v in params.items()}
     m1 = int(-(-bucket * pool // 1))
     m2 = int(-(-m1 * pool // 1))
-    opt, step_fn = make_train_step(mesh, pool, m1, m2, learning_rate)
+    opt, step_fn = make_train_step(mesh, pool, m1, m2, learning_rate,
+                                   total_steps=steps)
     opt_state = opt.init(params)
 
     def batch_of(samples):

@@ -59,3 +59,34 @@ def test_trained_params_roundtrip_through_pt(tmp_path):
     back = checkpoints.load_state_dict(p)
     for k in params:
         assert np.array_equal(back[k], np.asarray(params[k])), k
+
+
+def test_training_learns_fixed_batch():
+    """Regression for the round-1 'training does not converge' gap: with
+    calibrated init (healthy logit scale), canonical per-patch label gauge
+    and clipped updates, the step must drive a fixed batch well past the
+    majority-class baseline within a few dozen steps."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from dipole_tpu import train
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs).reshape(4, 1), ("data", "model"))
+    params = train.calibrate_init(
+        train.init_params(jax.random.PRNGKey(0)), train._probe_patch(0, 64))
+    m1 = int(-(-64 * 0.6 // 1))
+    m2 = int(-(-m1 * 0.6 // 1))
+    opt, step = train.make_train_step(mesh, 0.6, m1, m2, 3e-3,
+                                      total_steps=60)
+    opt_state = opt.init(params)
+    pc, labels, valid = train.make_batch(jax.random.PRNGKey(1), 4, 64)
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    accs = []
+    for _ in range(60):
+        params, opt_state, loss, acc = step(params, opt_state, pc, labels,
+                                            valid, keys)
+        accs.append(float(acc))
+    base = float(np.asarray(labels).mean())       # all-'keep' baseline
+    assert max(accs[-10:]) > min(0.95, base + 0.15), (accs[-10:], base)
