@@ -26,7 +26,12 @@ def _eigenvalues(A: jnp.ndarray):
     p1 = a01 ** 2 + a02 ** 2 + a12 ** 2
     b00, b11, b22 = a00 - q, a11 - q, a22 - q
     p2 = b00 ** 2 + b11 ** 2 + b22 ** 2 + 2.0 * p1
-    p = jnp.sqrt(jnp.maximum(p2 / 6.0, _EPS))
+    degenerate = p2 <= 1e-30
+    # double-where: the untaken branch must also be NaN-free in the BACKWARD
+    # pass (jnp.where passes NaN * 0 = NaN from the dead branch), so the
+    # isotropic case computes with a substituted safe p2
+    p2_safe = jnp.where(degenerate, 1.0, p2)
+    p = jnp.sqrt(p2_safe / 6.0)
     inv_p = 1.0 / p
     c00, c11, c22 = b00 * inv_p, b11 * inv_p, b22 * inv_p
     c01, c02, c12 = a01 * inv_p, a02 * inv_p, a12 * inv_p
@@ -35,12 +40,16 @@ def _eigenvalues(A: jnp.ndarray):
         - c01 * (c01 * c22 - c12 * c02)
         + c02 * (c01 * c12 - c11 * c02)
     )
-    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    # interior clip: at r = +-1 (repeated eigenvalues — any surface of
+    # revolution) arccos is value-correct but its derivative is infinite,
+    # which NaNs every gradient flowing through the PCA canonicalization.
+    # The 1e-6 margin perturbs eigenvalues by O(1e-6 * p) and keeps
+    # d/dr arccos bounded (~707).
+    r = jnp.clip(detB / 2.0, -1.0 + 1e-6, 1.0 - 1e-6)
     phi = jnp.arccos(r) / 3.0
     big = q + 2.0 * p * jnp.cos(phi)
     small = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
     mid = 3.0 * q - big - small
-    degenerate = p2 <= 1e-30
     big = jnp.where(degenerate, q, big)
     mid = jnp.where(degenerate, q, mid)
     small = jnp.where(degenerate, q, small)
@@ -57,11 +66,14 @@ def _eigvec_for(A: jnp.ndarray, lam_a: jnp.ndarray, lam_b: jnp.ndarray):
     norms = jnp.sum(P * P, axis=-2)                       # column squared norms
     best = jnp.argmax(norms, axis=-1)
     v = jnp.take_along_axis(P, best[..., None, None].repeat(3, axis=-2), axis=-1)[..., 0]
-    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-    v = v / jnp.maximum(n, _EPS)
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    ok = n2 > 1e-24
+    # sqrt'(0) is inf and leaks NaN through the dead where-branch: normalize
+    # with a substituted safe norm when degenerate
+    v = v / jnp.sqrt(jnp.where(ok, n2, 1.0))
     # degenerate fallback: any unit vector is an eigenvector
     fallback = jnp.zeros_like(v).at[..., 2].set(1.0)
-    return jnp.where(n > 1e-12, v, fallback)
+    return jnp.where(ok, v, fallback)
 
 
 def eigh3x3(A: jnp.ndarray):
@@ -72,8 +84,10 @@ def eigh3x3(A: jnp.ndarray):
     v0 = _eigvec_for(A, w[..., 1], w[..., 2])             # smallest
     v2 = _eigvec_for(A, w[..., 0], w[..., 1])             # largest
     v1 = jnp.cross(v2, v0)
-    n1 = jnp.sqrt(jnp.sum(v1 * v1, axis=-1, keepdims=True))
-    v1 = v1 / jnp.maximum(n1, _EPS)
+    n2 = jnp.sum(v1 * v1, axis=-1, keepdims=True)
+    ok1 = n2 > 1e-24
+    v1 = v1 / jnp.sqrt(jnp.where(ok1, n2, 1.0))
+    v1 = jnp.where(ok1, v1, jnp.zeros_like(v1).at[..., 1].set(1.0))
     # re-orthogonalize v0 against v2 (guards near-degenerate pairs)
     V = jnp.stack([v0, v1, v2], axis=-1)
     return w, V

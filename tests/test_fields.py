@@ -166,3 +166,23 @@ def test_mean_potential_sign():
     grid = gen_grid(10)
     assert grid.shape == (1000, 3)
     assert grid.min() == -1.0 and abs(grid.max() - 0.8) < 1e-6
+
+
+def test_eigh3x3_gradients_finite_at_degeneracy():
+    """Repeated/zero eigenvalues (any surface of revolution) must not NaN
+    the backward pass — arccos at r=+-1 and sqrt(0) in the normalizations
+    leaked inf grads through dead where-branches and destroyed training on
+    the vase cloud (round 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dipole_tpu.ops.linalg import eigh3x3
+
+    def f(A):
+        w, V = eigh3x3(A)
+        return jnp.sum(w) + jnp.sum(V * jnp.arange(9.0).reshape(3, 3))
+
+    for diag in ([1.0, 1.0, 0.1], [2.0, 2.0, 2.0], [1e-4, 0.5, 0.5],
+                 [0.0, 0.0, 0.0], [0.0, 0.0, 1.0]):
+        g = jax.grad(f)(jnp.diag(jnp.asarray(diag)))
+        assert bool(jnp.isfinite(g).all()), diag
