@@ -71,6 +71,13 @@ def _xconv(p, prefix, x, pos, K, C_in, C_out):
     N = pos.shape[0]
     idx = _knn_self(pos, K)
     pos_diff = pos[idx] - pos[:, None, :]                # neighbor - center
+    # canonicalized patches have diameter O(1); the only way to see a large
+    # pos_diff is a pair involving a _SENTINEL padding row (when fewer than
+    # K same-kind rows exist). Unclamped, that 1e6 feeds the X-transform and
+    # compounds to inf over the 7 stages — NaN gradients via 0 * inf even
+    # though padded rows are masked out of the loss. The clamp leaves every
+    # valid-valid pair bit-identical.
+    pos_diff = jnp.clip(pos_diff, -64.0, 64.0)
 
     if x is None:
         h = _elu(_linear(p, f"{prefix}.mlp1.0", pos_diff.reshape(-1, 3)))
@@ -162,7 +169,13 @@ def _canonicalize(pc, valid):
     rot = jnp.dot(xyz, V, precision=_HI) / jnp.sqrt(jnp.maximum(e[2], 1e-20))
     nrm = jnp.dot(pc[:, 3:6], V, precision=_HI)
     pos1 = jnp.where(valid[:, None], rot, _SENTINEL)
-    x = jnp.concatenate([pos1, nrm], axis=1)
+    # features of padded rows are zeroed — only their POSITION carries the
+    # sentinel (to keep them out of every kNN). Feeding the 1e6 sentinel as
+    # a feature lets padded-row activations compound to inf over the 7
+    # stages, and the backward's 0-cotangent * inf-primal = NaN then poisons
+    # the shared-weight gradients even though the loss masks padded rows.
+    x = jnp.where(valid[:, None],
+                  jnp.concatenate([rot, nrm], axis=1), 0.0)
     return x, pos1
 
 

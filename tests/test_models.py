@@ -122,3 +122,35 @@ def test_ensemble_vote_on_real_patch():
     assert flip.shape == (200,) and probs.shape == (200,)
     assert np.isfinite(probs).all()
     assert (probs >= 0).all() and (probs <= 1).all()
+
+
+def test_padded_forward_gradients_finite(hands_sd):
+    """Padding rows must never poison gradients: when the number of padded
+    slots at a pooled stage is smaller than the kNN kernel K, sentinel rows
+    pick VALID points as neighbors at distance ~1e6 — unclamped, that
+    explodes the X-transform to inf and the backward's 0 * inf = NaN wipes
+    the shared-weight gradients (round-2 vase training collapse)."""
+    from dipole_tpu import train
+
+    params = train.calibrate_init(
+        train.init_params(jax.random.PRNGKey(0)), train._probe_patch(0, 512))
+    r = np.random.default_rng(5)
+    n = 489                                  # 23 padded at stage 1, 14 < K=20 at stage 2
+    v = r.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    patch = np.concatenate([v * [1.0, 1.0, 0.2], v], 1).astype(np.float32)
+    pc = np.zeros((512, 6), np.float32)
+    pc[:n] = patch
+    lab = np.ones((512,), np.int32)
+    valid = np.zeros((512,), bool)
+    valid[:n] = True
+    m1 = int(-(-512 * 0.6 // 1))
+    m2 = int(-(-m1 * 0.6 // 1))
+    (loss, _), grads = jax.value_and_grad(train.loss_fn, has_aux=True)(
+        params, jnp.asarray(pc[None]), jnp.asarray(lab[None]),
+        jnp.asarray(valid[None]),
+        jnp.asarray(jax.random.split(jax.random.PRNGKey(1), 1)),
+        jnp.float32(0.6), m1, m2)
+    assert np.isfinite(float(loss))
+    for k, g in grads.items():
+        assert bool(jnp.isfinite(g).all()), k
