@@ -298,13 +298,25 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
                     bucket: int = 512, pool: float = 0.6, seed: int = 0,
                     learning_rate: float = 3e-3, mesh: Mesh | None = None,
                     eval_paths=(), verbose: bool = True,
-                    number_parts: int = 30, min_patch: int = 100):
+                    number_parts: int = 30, min_patch: int = 100,
+                    parts_list=None):
     """Train the flip classifier on real GT-oriented clouds. Returns
-    (params, history, eval_accuracy or None)."""
+    (params, history, eval_accuracy or None).
+
+    parts_list: optional iterable of number_parts values — each cloud is
+    patched once per value, so the net sees the same surface at several
+    patch scales (the inference-time scale varies per demo config). A path
+    may also be a (path, parts_list) pair to override the scales per cloud
+    (larger clouds need finer grids for comparable patch sizes)."""
     rng = np.random.default_rng(seed)
     data = []
     for p in paths:
-        data.extend(patches_from_cloud(p, number_parts, min_patch, seed=seed))
+        if isinstance(p, tuple):
+            p, cloud_parts = p
+        else:
+            cloud_parts = parts_list or [number_parts]
+        for nparts in cloud_parts:
+            data.extend(patches_from_cloud(p, nparts, min_patch, seed=seed))
     if not data:
         raise ValueError("no training patches")
 

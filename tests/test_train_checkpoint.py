@@ -90,3 +90,26 @@ def test_training_learns_fixed_batch():
         accs.append(float(acc))
     base = float(np.asarray(labels).mean())       # all-'keep' baseline
     assert max(accs[-10:]) > min(0.95, base + 0.15), (accs[-10:], base)
+
+
+def test_train_on_clouds_multiscale(tmp_path):
+    """train_on_clouds accepts (path, parts_list) pairs and trains on real
+    GT clouds patched at several grid scales."""
+    from tests.conftest import make_sphere
+    from dipole_tpu.utils.io import export_pc
+
+    cloud = tmp_path / "sphere.xyz"
+    export_pc(make_sphere(800, seed=3), cloud)
+    params, history, eval_acc = train.train_on_clouds(
+        [(str(cloud), (3, 4))],
+        steps=2, batch=4, bucket=128, min_patch=20,
+        eval_paths=[str(cloud)], verbose=False,
+    )
+    assert len(history) == 2
+    assert all(np.isfinite(l) for l, _ in history)
+    assert 0.0 <= eval_acc <= 1.0
+    # multi-scale patching actually widened the corpus
+    one = train.patches_from_cloud(str(cloud), 3, min_patch=20)
+    two = (train.patches_from_cloud(str(cloud), 3, min_patch=20)
+           + train.patches_from_cloud(str(cloud), 4, min_patch=20))
+    assert len(two) > len(one)

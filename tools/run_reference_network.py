@@ -12,7 +12,13 @@ golden config and prints sign agreements of
     and each vs ground truth —
 the attribution evidence for BASELINE.md.
 
-Usage: python tools/run_reference_network.py [--skip-ours] [--seed N]
+--demo hand / --demo fandisk run those demos' configs (demos/{hand,fandisk}.sh)
+instead: both pipelines get the SAME pre-estimated unoriented normals (ours,
+hybrid radius+max_nn — the reference's Open3D is not installable here), so the
+comparison isolates the orientation pipeline from normal-estimation variance.
+
+Usage: python tools/run_reference_network.py [--demo ok|hand|fandisk]
+                                             [--skip-ours] [--seed N]
 """
 import argparse
 import sys
@@ -52,24 +58,48 @@ GOLDEN = "/root/reference/demos/ok/final_result.xyz"
 DATA = "/root/reference/data/ok.xyz"
 PRE = "/root/reference/pre_trained"
 
+# (iters, propagation_iters, number_parts, min_patch, curvature) per demo —
+# the flag sets of /root/reference/demos/{ok/opts.txt, hand.sh, fandisk.sh}
+DEMO_CFG = {
+    "ok": ("ok.xyz", 5, 4, 41, 100, 0.0),
+    "hand": ("hand.xyz", 10, 5, 30, 100, 0.01),
+    "fandisk": ("fandisk.xyz", 3, 5, 30, 100, 0.0),
+}
 
-def golden_opts(export_dir: Path) -> SimpleNamespace:
-    """The exact config of demos/ok/opts.txt (the golden run)."""
+
+def golden_opts(export_dir: Path, demo: str = "ok",
+                pc_path: str | None = None) -> SimpleNamespace:
+    """The exact config of the demo (ok = demos/ok/opts.txt, the golden run)."""
+    fname, iters, prop_iters, parts, min_patch, curv = DEMO_CFG[demo]
     return SimpleNamespace(
-        pc=Path(DATA),
+        pc=Path(pc_path or f"/root/reference/data/{fname}"),
         export_dir=export_dir,
         models=[Path(PRE) / "hands2.pt", Path(PRE) / "hands.pt",
                 Path(PRE) / "manmade.pt"],
-        iters=5,
-        propagation_iters=4,
-        number_parts=41,
-        minimum_points_per_patch=100,
-        curvature_threshold=0.0,
+        iters=iters,
+        propagation_iters=prop_iters,
+        number_parts=parts,
+        minimum_points_per_patch=min_patch,
+        curvature_threshold=curv,
         diffuse=True,
         weighted_prop=True,
         estimate_normals=False,
         n=50,
     )
+
+
+def pre_estimated_input(demo: str, out_dir: Path) -> Path:
+    """Write the demo cloud with OUR estimated (unoriented) normals so both
+    pipelines consume identical inputs."""
+    from dipole_tpu.ops.estimate import estimate_normals
+    from dipole_tpu.utils.io import export_pc, load_xyz
+
+    fname = DEMO_CFG[demo][0]
+    pc = load_xyz(f"/root/reference/data/{fname}", append_normals=False)
+    est = estimate_normals(pc[:, :3], max_nn=30)
+    path = out_dir / f"{demo}_estimated.xyz"
+    export_pc(np.asarray(est), path)
+    return path
 
 
 def load6(path) -> np.ndarray:
@@ -88,46 +118,59 @@ def agreement(a: np.ndarray, b: np.ndarray) -> float:
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    ap.add_argument("--demo", choices=sorted(DEMO_CFG), default="ok")
     ap.add_argument("--skip-ours", action="store_true")
     ap.add_argument("--seed", type=int, default=1,
                     help="torch.manual_seed (reference pins 1 at import)")
-    ap.add_argument("--out", type=Path, default=Path("/tmp/ref_network_ok"))
+    ap.add_argument("--out", type=Path, default=None)
     args = ap.parse_args(argv)
 
-    args.out.mkdir(parents=True, exist_ok=True)
+    out = args.out or Path(f"/tmp/ref_network_{args.demo}")
+    out.mkdir(parents=True, exist_ok=True)
+    data = f"/root/reference/data/{DEMO_CFG[args.demo][0]}"
+    if args.demo == "ok":
+        pc_path = data  # golden config consumes the file's GT normals as-is
+    else:
+        pc_path = str(pre_estimated_input(args.demo, out))
+        print(f"shared pre-estimated input: {pc_path}")
+
     torch.manual_seed(args.seed)
     t0 = time.perf_counter()
-    ref_op.run(golden_opts(args.out))
+    ref_op.run(golden_opts(out, args.demo, pc_path))
     t_ref = time.perf_counter() - t0
-    fresh = load6(args.out / "final_result.xyz")
+    fresh = load6(out / "final_result.xyz")
     print(f"\nfresh reference run: {t_ref:.1f}s")
 
-    golden = load6(GOLDEN)
-    gt = load6(DATA)
-    print(f"fresh-ref vs golden : {agreement(fresh, golden):.6f}")
+    gt = load6(data)
     print(f"fresh-ref vs GT     : {agreement(fresh, gt):.6f}")
-    print(f"golden    vs GT     : {agreement(golden, gt):.6f}")
+    if args.demo == "ok":
+        golden = load6(GOLDEN)
+        print(f"fresh-ref vs golden : {agreement(fresh, golden):.6f}")
+        print(f"golden    vs GT     : {agreement(golden, gt):.6f}")
 
     if not args.skip_ours:
         from dipole_tpu.cli import orient_pointcloud as ours_op
 
-        ours_dir = args.out / "ours"
+        _, iters, prop_iters, parts, min_patch, curv = DEMO_CFG[args.demo]
+        ours_dir = out / "ours"
         ours_dir.mkdir(exist_ok=True)
         t0 = time.perf_counter()
         ours_op.main([
-            "--pc", DATA, "--export_dir", str(ours_dir),
+            "--pc", pc_path, "--export_dir", str(ours_dir),
             "--models", f"{PRE}/hands2.pt", f"{PRE}/hands.pt",
             f"{PRE}/manmade.pt",
-            "--iters", "5", "--propagation_iters", "4",
-            "--number_parts", "41", "--minimum_points_per_patch", "100",
-            "--curvature_threshold", "0.0", "--diffuse", "--weighted_prop",
+            "--iters", str(iters), "--propagation_iters", str(prop_iters),
+            "--number_parts", str(parts),
+            "--minimum_points_per_patch", str(min_patch),
+            "--curvature_threshold", str(curv), "--diffuse", "--weighted_prop",
         ])
         t_ours = time.perf_counter() - t0
         ours = load6(ours_dir / "final_result.xyz")
         print(f"\nours run: {t_ours:.1f}s  (speedup vs fresh ref: {t_ref/t_ours:.1f}x)")
         print(f"ours vs fresh-ref   : {agreement(ours, fresh):.6f}")
-        print(f"ours vs golden      : {agreement(ours, golden):.6f}")
         print(f"ours vs GT          : {agreement(ours, gt):.6f}")
+        if args.demo == "ok":
+            print(f"ours vs golden      : {agreement(ours, load6(GOLDEN)):.6f}")
 
 
 if __name__ == "__main__":
