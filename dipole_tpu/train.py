@@ -15,8 +15,6 @@ reduce-scatters over ICI.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -152,6 +152,11 @@ class Transform:
             self.center = self.center + (pc_tag[a] + pc_tag[b]) / 2
         else:
             raise ValueError(f"unknown ttype {ttype!r}")
+        if self.scale == 0.0:
+            # zero-extent cloud (single / coincident points): centering is
+            # still meaningful, scaling is not — identity scale instead of
+            # letting a 0-divide poison the whole pipeline with NaNs
+            self.scale = 1.0
 
     def apply(self, pc: np.ndarray) -> np.ndarray:
         pc = np.array(pc, copy=True)

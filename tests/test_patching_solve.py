@@ -213,3 +213,33 @@ def test_pipeline_options_defaults():
     for k in ["iters", "propagation_iters", "number_parts",
               "minimum_points_per_patch", "curvature_threshold", "n"]:
         assert getattr(opts, k) == getattr(parsed, k), k
+
+
+def test_degenerate_inputs_stay_finite():
+    """Tiny / coincident / collinear clouds must not produce NaNs anywhere
+    on the core op surface (the server's degenerate path depends on it)."""
+    import numpy as np
+
+    from dipole_tpu.ops.estimate import estimate_normals
+    from dipole_tpu.ops.patching import divide_pc
+    from dipole_tpu.ops.propagate import strongest_field_propagation_points
+    from dipole_tpu.utils.io import Transform
+
+    rng = np.random.default_rng(0)
+    for pts in [rng.normal(size=(2, 3)), rng.normal(size=(1, 3)),
+                np.zeros((5, 3)),
+                np.stack([np.linspace(0, 1, 8), np.zeros(8), np.zeros(8)], 1)]:
+        est = estimate_normals(pts.astype(np.float32))
+        assert np.isfinite(est).all()
+
+    pc2 = rng.normal(size=(2, 6)).astype(np.float32)
+    pc2[:, 3:] /= np.linalg.norm(pc2[:, 3:], axis=1, keepdims=True)
+    assert np.isfinite(strongest_field_propagation_points(pc2)).all()
+    assert np.isfinite(strongest_field_propagation_points(pc2[:1])).all()
+
+    assert len(divide_pc(rng.normal(size=(50, 3)).astype(np.float32) * 1e-3, 1)) == 1
+
+    # zero-extent clouds: identity scale, no NaN
+    out, t = Transform.trans(np.ones((4, 6), dtype=np.float32))
+    assert np.isfinite(out).all() and t.scale == 1.0
+    assert np.allclose(t.inverse(out), np.ones((4, 6), dtype=np.float32))
