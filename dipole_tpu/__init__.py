@@ -16,3 +16,10 @@ __version__ = "0.1.0"
 from dipole_tpu.utils import jaxsetup as _jaxsetup  # noqa: F401
 from dipole_tpu.utils import io as io  # noqa: F401
 from dipole_tpu.ops import fields as fields  # noqa: F401
+
+
+def orient(points, method: str = "auto", models=(), **kwargs):
+    """One-call in-memory orientation — see `dipole_tpu.api.orient`."""
+    from dipole_tpu import api
+
+    return api.orient(points, method=method, models=models, **kwargs)

@@ -1,0 +1,244 @@
+"""First-class in-memory orientation API.
+
+The reference's programmatic surface (dipole_api.py:14-87) is a CLI facade:
+arrays must round-trip through .xyz files on disk. This module is the
+array-in / array-out equivalent of every pipeline — the CLIs in
+`dipole_tpu.cli` are thin load/export wrappers around these functions, so
+API and CLI behavior are one code path.
+
+All functions take an (N, 3) or (N, 6) float array and return the oriented
+(N, 6) array in the ORIGINAL coordinate space (normalization is internal).
+
+    import dipole_tpu
+    oriented = dipole_tpu.orient(points)                  # auto method
+    oriented = dipole_tpu.api.orient_large(points, models=["hands.pt", ...])
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from dipole_tpu.ops import fields, propagate
+from dipole_tpu.ops.estimate import estimate_normals
+from dipole_tpu.ops.patching import divide_pc, fix_n_filter
+from dipole_tpu.models.inference import ensemble_vote_patches, load_model_from_file
+from dipole_tpu.utils.io import Transform, orient_center_np
+from dipole_tpu.utils.timing import timer_factory
+
+__all__ = ["orient", "orient_simple", "orient_patches", "orient_large",
+           "transfer_orientation", "MAX_PATCH_SIZE"]
+
+MAX_PATCH_SIZE = 500  # representatives per patch (reference orient_large.py:14)
+
+
+def _as_models(models):
+    """Accept checkpoint paths or already-loaded PointCNNParams."""
+    from dipole_tpu.models.pointcnn import PointCNNParams
+
+    return [m if isinstance(m, PointCNNParams) else load_model_from_file(m)
+            for m in (models or [])]
+
+
+def _sign_fix(pc: np.ndarray, timer) -> np.ndarray:
+    with timer("global sign fix"):
+        if fields.measure_mean_potential(pc) < 0:
+            pc[:, 3:6] *= -1
+    return pc
+
+
+def orient_simple(points, diffuse: bool = False, estimate: bool = False,
+                  n: int = 30, timer=None) -> np.ndarray:
+    """Per-point strongest-field propagation (reference orient_simple.py:8-34):
+    (estimate) -> normalize -> propagate -> lattice sign fix -> denormalize."""
+    MyTimer = timer or timer_factory()
+    input_pc = np.asarray(points, dtype=np.float32)
+
+    if estimate or input_pc.shape[1] == 3:
+        with MyTimer("estimate unoriented normals"):
+            input_pc = estimate_normals(input_pc, max_nn=n)
+
+    input_pc, transform = Transform.trans(input_pc)
+
+    with MyTimer("dipole propagation"):
+        input_pc = propagate.strongest_field_propagation_points(
+            input_pc, diffuse=diffuse, starting_point=0
+        )
+
+    input_pc = _sign_fix(input_pc, MyTimer)
+    return transform.inverse(input_pc)
+
+
+def orient_patches(points, models=(), iters: int = 100,
+                   propagation_iters: int = 10, number_parts: int = 15,
+                   minimum_points_per_patch: int = 21,
+                   curvature_threshold: float = 0.0, diffuse: bool = False,
+                   weighted_prop: bool = False, estimate: bool = False,
+                   n: int = 30, timer=None) -> np.ndarray:
+    """Patch pipeline with PointCNN ensemble correction (reference
+    orient_pointcloud.py:11-83): voxel patches -> curvature filter ->
+    orient_center -> iterate {ensemble votes, periodic patch propagation} ->
+    final propagation -> lattice sign fix."""
+    import jax
+
+    MyTimer = timer or timer_factory()
+    pc = np.asarray(points, dtype=np.float32)
+    if estimate or pc.shape[1] == 3:
+        with MyTimer("estimate unoriented normals"):
+            pc = estimate_normals(pc, max_nn=n)
+    input_pc, transform = Transform.trans(pc)
+
+    models = _as_models(models)
+
+    with MyTimer("voxel patching"):
+        all_patches = divide_pc(input_pc[:, :3], number_parts,
+                                min_patch=minimum_points_per_patch)
+
+    with MyTimer("curvature filter"):
+        patch_indices = fix_n_filter(input_pc, all_patches, curvature_threshold)
+
+    print(f"number of patches {len(patch_indices)}")
+
+    with MyTimer("centroid init"):
+        for _, p in patch_indices:
+            input_pc[p] = orient_center_np(input_pc[p])
+
+    pc_probs = np.ones(len(input_pc), dtype=np.float32)
+    key = jax.random.PRNGKey(1)
+
+    def propagate_now():
+        return propagate.strongest_field_propagation_patches(
+            input_pc, patch_indices, all_patches, diffuse=diffuse,
+            weights=pc_probs if weighted_prop else None,
+        )
+
+    for it in range(iters):
+        with MyTimer(f"iteration {it}"):
+            if models and patch_indices:
+                # one batched ensemble pass over all filtered patches (each
+                # forward reads only its own patch, so this is exactly the
+                # reference's sequential per-patch loop)
+                key, sub = jax.random.split(key)
+                votes = ensemble_vote_patches(
+                    models, [input_pc[pidx] for _, pidx in patch_indices], key=sub
+                )
+                for (_, pidx), (flip, probs) in zip(patch_indices, votes):
+                    probs = probs.copy()
+                    probs[flip] = 1 - probs[flip]
+                    pc_probs[pidx] = probs
+                    input_pc[pidx[flip], 3:6] *= -1
+
+            if it % propagation_iters == 0 and (it != 0 or propagation_iters == 1):
+                with MyTimer("patch propagation"):
+                    input_pc = propagate_now()
+
+    with MyTimer("patch propagation"):
+        input_pc = propagate_now()
+
+    input_pc = _sign_fix(input_pc, MyTimer)
+    return transform.inverse(input_pc)
+
+
+def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
+                 minimum_points_per_patch: int = 21,
+                 curvature_threshold: float = 0.0, estimate: bool = False,
+                 n: int = 30, seed: int = 1, timer=None) -> np.ndarray:
+    """Large clouds via <=500 representative points per patch (reference
+    orient_large.py:10-90). NOTE pipeline-order parity: normals are estimated
+    AFTER normalization here (the reference does the same only in this
+    pipeline, orient_large.py:17-24)."""
+    import jax
+
+    MyTimer = timer or timer_factory()
+    input_pc = np.asarray(points, dtype=np.float32)
+    input_pc, transform = Transform.trans(input_pc)
+
+    if estimate or input_pc.shape[1] == 3:
+        with MyTimer("estimate unoriented normals"):
+            input_pc = estimate_normals(input_pc, max_nn=n)
+
+    models = _as_models(models)
+
+    with MyTimer("voxel patching"):
+        all_patches = divide_pc(input_pc[:, :3], number_parts,
+                                min_patch=minimum_points_per_patch)
+
+    with MyTimer("curvature filter"):
+        patch_indices = fix_n_filter(input_pc, all_patches, curvature_threshold)
+
+    print(f"number of patches {len(patch_indices)}/{len(all_patches)}")
+
+    with MyTimer("centroid init"):
+        for _, p in patch_indices:
+            input_pc[p] = orient_center_np(input_pc[p])
+
+    with MyTimer("pick representatives"):
+        rng = np.random.default_rng(seed)
+        represent = []
+        for p in all_patches:
+            perm = rng.permutation(len(p))
+            represent.append((p[perm[:MAX_PATCH_SIZE]], p[perm[MAX_PATCH_SIZE:]]))
+
+    pc_probs = np.ones(len(input_pc), dtype=np.float32)
+    key = jax.random.PRNGKey(1)
+
+    with MyTimer("network correction"):
+        rep_sets = [represent[i][0] for i, _ in patch_indices] if models else []
+        # the reference runs iters sequential re-votes per patch; the patches
+        # are independent, so each round is one batched ensemble pass
+        for _ in range(iters if rep_sets else 0):
+            key, sub = jax.random.split(key)
+            votes = ensemble_vote_patches(
+                models, [input_pc[r] for r in rep_sets], key=sub
+            )
+            for reps, (flip, probs) in zip(rep_sets, votes):
+                pc_probs[reps] = probs
+                input_pc[reps[flip], 3:6] *= -1
+
+    with MyTimer("dipole propagation"):
+        input_pc = propagate.strongest_field_propagation_reps(
+            input_pc, represent, diffuse=True
+        )
+
+    input_pc = _sign_fix(input_pc, MyTimer)
+    return transform.inverse(input_pc)
+
+
+def transfer_orientation(reference_pc, target, estimate: bool = False,
+                         n: int = 30) -> np.ndarray:
+    """Orient `target` by the dipole field of an oriented reference cloud
+    (reference reference_orientation.py:8-28): 3-col targets take the
+    normalized field as their normal; 6-col targets only take its sign.
+    No normalization, no sign fix — parity with the reference."""
+    reference_pc = np.asarray(reference_pc, dtype=np.float32)
+    target = np.asarray(target, dtype=np.float32)
+    if estimate:
+        target = estimate_normals(target, max_nn=n)
+    return np.asarray(fields.reference_field(reference_pc, target))
+
+
+def orient(points, method: str = "auto", models=(), **kwargs) -> np.ndarray:
+    """One-call orientation. method: 'auto' | 'simple' | 'patches' | 'large'
+    | 'xie' | 'tree_xie' | 'hoppe'. 'auto' picks 'simple' for small clouds
+    without models, 'patches' for small clouds with models, 'large' above
+    50k points. xie/tree_xie/hoppe accept the server protocol's config keys
+    (serve/handlers.py) as kwargs."""
+    points = np.asarray(points)
+    if method == "auto":
+        if len(points) > 50_000:
+            method = "large"
+        else:
+            method = "patches" if models else "simple"
+    if method == "simple":
+        return orient_simple(points, **kwargs)
+    if method == "patches":
+        return orient_patches(points, models=models, **kwargs)
+    if method == "large":
+        return orient_large(points, models=models, **kwargs)
+    if method in ("xie", "tree_xie", "hoppe"):
+        from dipole_tpu.serve import handlers
+
+        name = {"xie": "xie_propagation", "tree_xie": "tree_xie_propagation",
+                "hoppe": "hoppe_estimate"}[method]
+        config = {"max_nn": kwargs.pop("n", 30), "eps": 1.0, "diffuse": False,
+                  "times": 3, **kwargs}
+        return handlers.dispatch(name, points[:, :3], config)
+    raise ValueError(f"unknown method {method!r}")

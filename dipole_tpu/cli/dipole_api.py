@@ -10,7 +10,6 @@ import argparse
 from pathlib import Path
 
 from dipole_tpu.cli import orient_large as _orient_large
-from dipole_tpu.utils.config import PipelineOptions
 
 DEFAULT_MODELS = [
     Path("/root/reference/pre_trained/hands2.pt"),
@@ -28,30 +27,18 @@ def orient_large_np(points, models=None, **kwargs):
     """Orient an (N, 3|6) array in memory; returns the oriented (N, 6) array.
 
     Convenience wrapper not present in the reference CLI but implied by its
-    'programmatic API' role."""
-    import tempfile
+    'programmatic API' role; delegates to `dipole_tpu.api.orient_large`."""
+    from dipole_tpu import api
 
-    import numpy as np
-
-    from dipole_tpu.utils.io import export_pc, load_xyz
-
-    with tempfile.TemporaryDirectory() as td:
-        pc_path = Path(td) / "in.xyz"
-        export_pc(np.asarray(points), pc_path)
-        opts = PipelineOptions(
-            pc=pc_path, export_dir=Path(td) / "out",
-            models=models or DEFAULT_MODELS,
-            iters=kwargs.pop("iters", 5),
-            number_parts=kwargs.pop("number_parts", 10),
-            minimum_points_per_patch=kwargs.pop("minimum_points_per_patch", 100),
-            curvature_threshold=kwargs.pop("curvature_threshold", 0.0),
-            diffuse=True, weighted_prop=True,
-            estimate_normals=kwargs.pop("estimate_normals", True),
-            n=kwargs.pop("n", 30),
-        )
-        Path(opts.export_dir).mkdir(parents=True, exist_ok=True)
-        _orient_large.run(opts)
-        return load_xyz(Path(opts.export_dir) / "final_result.xyz")
+    return api.orient_large(
+        points, models=models or DEFAULT_MODELS,
+        iters=kwargs.pop("iters", 5),
+        number_parts=kwargs.pop("number_parts", 10),
+        minimum_points_per_patch=kwargs.pop("minimum_points_per_patch", 100),
+        curvature_threshold=kwargs.pop("curvature_threshold", 0.0),
+        estimate=kwargs.pop("estimate_normals", True),
+        n=kwargs.pop("n", 30),
+    )
 
 
 def get_parser():

@@ -4,18 +4,15 @@ Pipeline parity with reference orient_simple.py:8-43:
 load -> (optional) estimate normals -> normalize -> strongest-field
 propagation -> lattice-potential global sign fix -> denormalize -> export
 final_result.xyz. Device-agnostic (runs on CPU or TPU; the fork's forced
-.cuda() is not reproduced).
+.cuda() is not reproduced). Thin wrapper over `dipole_tpu.api.orient_simple`.
 """
 from __future__ import annotations
 
 from pathlib import Path
 
-import numpy as np
-
-from dipole_tpu.ops import fields, propagate
-from dipole_tpu.ops.estimate import estimate_normals
+from dipole_tpu import api
 from dipole_tpu.utils import config
-from dipole_tpu.utils.io import Transform, export_pc, load_xyz
+from dipole_tpu.utils.io import export_pc, load_xyz
 from dipole_tpu.utils.timing import timer_factory
 
 
@@ -27,26 +24,16 @@ def run(opts):
     with MyTimer("load point cloud", count=False):
         input_pc = load_xyz(opts.pc)
 
-    if opts.estimate_normals:
-        with MyTimer("estimate unoriented normals"):
-            input_pc = estimate_normals(input_pc, max_nn=30)
-
-    input_pc, transform = Transform.trans(input_pc)
-
-    with MyTimer("dipole propagation"):
-        input_pc = propagate.strongest_field_propagation_points(
-            input_pc, diffuse=opts.diffuse, starting_point=0
-        )
-
-    with MyTimer("global sign fix"):
-        if fields.measure_mean_potential(input_pc) < 0:
-            input_pc[:, 3:6] *= -1
+    # reference orient_simple.py:19 pins max_nn=30 (not opts.n)
+    oriented = api.orient_simple(input_pc, diffuse=opts.diffuse,
+                                 estimate=opts.estimate_normals, n=30,
+                                 timer=MyTimer)
 
     with MyTimer("export oriented cloud", count=False):
-        export_pc(transform.inverse(input_pc), export_path / "final_result.xyz")
+        export_pc(oriented, export_path / "final_result.xyz")
 
     MyTimer.print_total_time()
-    return input_pc
+    return oriented
 
 
 def main(argv=None):

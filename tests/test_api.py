@@ -1,0 +1,88 @@
+"""In-memory API (dipole_tpu.api) — array-in/array-out pipelines."""
+import numpy as np
+import pytest
+
+import dipole_tpu
+from dipole_tpu import api
+from tests.conftest import make_sphere, scramble_signs
+
+
+def _gt_agreement(oriented, gt):
+    s = (oriented[:, 3:6] * gt[:, 3:6]).sum(1) > 0
+    return max(s.mean(), 1 - s.mean())
+
+
+def test_orient_simple_array_roundtrip():
+    gt = make_sphere(300, seed=0)
+    out = api.orient_simple(scramble_signs(gt, seed=2)[0])
+    assert out.shape == (300, 6)
+    # original coordinate space, all signs consistent with GT
+    assert np.allclose(out[:, :3], gt[:, :3], atol=1e-5)
+    assert _gt_agreement(out, gt) == 1.0
+
+
+def test_orient_simple_estimates_missing_normals():
+    # demo-data-like scale: the hybrid estimator's radius=0.1 is a fixed
+    # reference semantic (util.py:551-567), so density must be realistic
+    gt = make_sphere(2000, seed=1)
+    gt[:, :3] *= 0.4
+    out = api.orient_simple(gt[:, :3])  # 3-col input -> auto-estimate
+    assert out.shape == (2000, 6)
+    assert np.isfinite(out).all()
+    assert _gt_agreement(out, gt) > 0.95
+
+
+def test_orient_patches_array():
+    gt = make_sphere(600, seed=2)
+    out = api.orient_patches(scramble_signs(gt, seed=3)[0], number_parts=4,
+                             minimum_points_per_patch=20, iters=1,
+                             propagation_iters=1, diffuse=True)
+    assert out.shape == (600, 6)
+    assert _gt_agreement(out, gt) == 1.0
+
+
+def test_orient_large_array():
+    gt = make_sphere(800, seed=4)
+    out = api.orient_large(scramble_signs(gt, seed=5)[0], number_parts=4,
+                           minimum_points_per_patch=20, iters=1)
+    assert out.shape == (800, 6)
+    assert _gt_agreement(out, gt) == 1.0
+
+
+def test_transfer_orientation_array():
+    ref = make_sphere(400, seed=6)
+    tgt = make_sphere(200, seed=7)
+    out = api.transfer_orientation(ref, scramble_signs(tgt, seed=8)[0])
+    assert out.shape == (200, 6)
+    assert _gt_agreement(out, tgt) == 1.0
+    # 3-col branch: field direction becomes the normal
+    out3 = api.transfer_orientation(ref, tgt[:, :3])
+    assert out3.shape == (200, 6)
+    assert np.allclose(np.linalg.norm(out3[:, 3:], axis=1), 1.0, atol=1e-4)
+
+
+def test_orient_auto_dispatch():
+    gt = make_sphere(250, seed=9)
+    out = dipole_tpu.orient(scramble_signs(gt, seed=10)[0])  # auto -> simple
+    assert _gt_agreement(out, gt) == 1.0
+
+
+def test_orient_tree_xie_via_api():
+    gt = make_sphere(200, seed=11)
+    out = dipole_tpu.orient(gt[:, :3], method="tree_xie", times=3)
+    assert out.shape == (200, 6)
+    assert np.isfinite(out).all()
+
+
+def test_cli_matches_api(tmp_path):
+    """The CLI is a thin wrapper: same array through file vs memory."""
+    from dipole_tpu.cli import orient_simple as cli
+    from dipole_tpu.utils.io import export_pc, load_xyz
+
+    gt = scramble_signs(make_sphere(200, seed=12), seed=13)[0]
+    export_pc(gt, tmp_path / "in.xyz")
+    cli.main(["--pc", str(tmp_path / "in.xyz"),
+              "--export_dir", str(tmp_path / "out"), "--diffuse"])
+    file_out = load_xyz(tmp_path / "out" / "final_result.xyz")
+    mem_out = api.orient_simple(load_xyz(tmp_path / "in.xyz"), diffuse=True)
+    assert np.allclose(file_out, mem_out, atol=1e-4)
