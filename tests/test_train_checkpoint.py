@@ -113,3 +113,26 @@ def test_train_on_clouds_multiscale(tmp_path):
     two = (train.patches_from_cloud(str(cloud), 3, min_patch=20)
            + train.patches_from_cloud(str(cloud), 4, min_patch=20))
     assert len(two) > len(one)
+
+
+def test_shipped_first_party_checkpoints():
+    """The repo ships its own trained ensemble (pre_trained_tpu/): loads
+    through the normal inference path, reference-compatible layout, sane
+    logits."""
+    from pathlib import Path
+
+    from dipole_tpu.models.pointcnn import PointCNNParams
+
+    here = Path(__file__).resolve().parent.parent / "pre_trained_tpu"
+    pts = sorted(here.glob("dipole_*.pt"))
+    assert len(pts) >= 3
+    ref = checkpoints.load_state_dict("/root/reference/pre_trained/hands.pt")
+    rng = np.random.default_rng(0)
+    patch = rng.normal(size=(64, 6)).astype(np.float32)
+    patch[:, 3:] /= np.linalg.norm(patch[:, 3:], axis=1, keepdims=True)
+    for pt in pts:
+        m = PointCNNParams.from_files(pt)
+        assert set(m.params.keys()) == set(ref.keys())
+        logits = m.logits(patch, key=jax.random.PRNGKey(0))
+        assert logits.shape == (64, 2)
+        assert np.isfinite(logits).all()

@@ -123,10 +123,28 @@ def vase_cloud(n, seed=0):
     return pc[rng.permutation(len(pc))].astype(np.float32)
 
 
+def random_balls(seed, k=None):
+    """A random connected metaball chain — unlimited distinct training
+    shapes with exact GT normals. Each ball's center lies within the radius
+    of a previously placed ball, so the level set stays one component."""
+    rng = np.random.default_rng(seed)
+    k = k or int(rng.integers(6, 15))
+    balls = [((0.0, 0.0, 0.0), float(rng.uniform(0.3, 0.5)))]
+    for _ in range(k - 1):
+        c0, r0 = balls[int(rng.integers(len(balls)))]
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        r = float(rng.uniform(0.12, 0.45))
+        c = np.asarray(c0) + d * r0 * rng.uniform(0.5, 1.0)
+        balls.append((tuple(c), r))
+    return balls
+
+
 SHAPES = {
     "lion": lambda n, seed: metaball_cloud(n, LION_BALLS, seed=seed),
     "alien": lambda n, seed: metaball_cloud(n, ALIEN_BALLS, seed=seed),
     "vase": vase_cloud,
+    "blobs": lambda n, seed: metaball_cloud(n, random_balls(seed), seed=seed),
 }
 
 

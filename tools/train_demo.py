@@ -52,15 +52,42 @@ def main(steps=300, out="/tmp/dipole_tpu_trained.pt", pool=0.6):
     return correct / total
 
 
+def _synth_training_clouds(tmpdir="/tmp/dipole_tpu_train_shapes"):
+    """Synthesize GT-oriented clouds (the make_shape implicit surfaces) to
+    widen the training corpus beyond the two shipped GT clouds. Seeds differ
+    from the demo stand-ins; the held-out eval cloud (hand) is real either
+    way. Returns [(path, parts_list)] with grids scaled so patch sizes match
+    the ~100-500-point range the reference's inference configs produce."""
+    from tools import make_shape
+
+    tmpdir = Path(tmpdir)
+    tmpdir.mkdir(exist_ok=True)
+    specs = [("lion", 40000, 77), ("vase", 40000, 78), ("alien", 40000, 79),
+             ("blobs", 30000, 101), ("blobs", 30000, 102),
+             ("blobs", 30000, 103), ("blobs", 30000, 104)]
+    out = []
+    for shape, n, seed in specs:
+        path = tmpdir / f"{shape}_{seed}_{n}.xyz"
+        if not path.exists():
+            make_shape.main([shape, str(n), str(path), str(seed)])
+        out.append((str(path), (45, 64)))
+    return out
+
+
 def main_real(steps=600, out="/tmp/dipole_tpu_trained_real.pt", pool=0.6):
     """Checkpoint-grade training demonstration (VERDICT r1 item 8): train on
-    fandisk+ok real clouds, evaluate per-point flip accuracy on held-out
-    hand, export the checkpoint, and drive it through the actual
-    orient_pointcloud ensemble path on hand.xyz."""
+    fandisk+ok real clouds plus synthesized GT implicit surfaces, evaluate
+    per-point flip accuracy on held-out hand, export the checkpoint, and
+    drive it through the actual orient_pointcloud ensemble path on
+    hand.xyz."""
     data = "/root/reference/data"
     t0 = time.time()
+    corpus = [
+        (f"{data}/fandisk.xyz", (20, 30, 45)),
+        (f"{data}/ok.xyz", (20, 30, 45)),
+    ] + _synth_training_clouds()
     params, history, eval_acc = train.train_on_clouds(
-        [f"{data}/fandisk.xyz", f"{data}/ok.xyz"],
+        corpus,
         steps=steps, batch=16, bucket=512, pool=pool,
         eval_paths=[f"{data}/hand.xyz"], verbose=True,
         learning_rate=1e-3,
@@ -93,10 +120,119 @@ def main_real(steps=600, out="/tmp/dipole_tpu_trained_real.pt", pool=0.6):
     return eval_acc, agree
 
 
+def _eval_checkpoints_on_hand(pt_paths, bucket=512, seed=1):
+    """(per-model accs, ensemble acc) on held-out hand patches; accuracy is
+    gauge-free (a patch prediction counts up to one whole-patch flip — the
+    gauge is resolved later by propagation, so internal consistency is what
+    the pipeline consumes)."""
+    import jax
+
+    from dipole_tpu import train
+    from dipole_tpu.models.inference import voting_policy
+    from dipole_tpu.models.pointcnn import PointCNNParams, pointcnn_logits_batched
+
+    rng = np.random.default_rng(seed)
+    prepped = []
+    for patch, lab in train.patches_from_cloud(
+            "/root/reference/data/hand.xyz", 30, 100, seed=seed):
+        if len(patch) > bucket:
+            sel = rng.permutation(len(patch))[:bucket]
+            patch, lab = patch[sel], lab[sel]
+        prepped.append((patch, lab))
+
+    def softmax1(logits):
+        x = logits - logits.max(-1, keepdims=True)
+        e = np.exp(x)
+        return (e / e.sum(-1, keepdims=True))[:, 1]
+
+    def gauge_free_acc(preds):
+        c = t = 0
+        for (_, lab), pred in zip(prepped, preds):
+            a = (pred == lab).mean()
+            c += max(a, 1 - a) * len(lab)
+            t += len(lab)
+        return c / t
+
+    per_model_probs, accs = [], []
+    for pt in pt_paths:
+        m = PointCNNParams.from_files(pt)
+        outs = pointcnn_logits_batched(m.params, m.pool,
+                                       [p for p, _ in prepped],
+                                       key=jax.random.PRNGKey(0), bucket=bucket)
+        probs = [softmax1(np.asarray(o)) for o in outs]
+        per_model_probs.append(probs)
+        accs.append(gauge_free_acc([(p >= 0.5).astype(np.int32) for p in probs]))
+    ens_preds = []
+    for i in range(len(prepped)):
+        flip, _ = voting_policy([per_model_probs[j][i]
+                                 for j in range(len(pt_paths))])
+        ens_preds.append((~flip).astype(np.int32))
+    return accs, gauge_free_acc(ens_preds)
+
+
+def main_ensemble(steps=1600, n_models=3, outdir="/tmp/dipole_tpu_ensemble",
+                  pool=0.6):
+    """Train an n_models ensemble from different seeds (the reference ships
+    a 3-checkpoint ensemble; voting is the product's deployment mode), save
+    each as a torch-compatible .pt, evaluate single-model and ensemble
+    gauge-free accuracy on held-out hand, and drive the ensemble through
+    orient_pointcloud(hand)."""
+    data = "/root/reference/data"
+    outdir = Path(outdir)
+    outdir.mkdir(exist_ok=True)
+    corpus = [
+        (f"{data}/fandisk.xyz", (20, 30, 45)),
+        (f"{data}/ok.xyz", (20, 30, 45)),
+    ] + _synth_training_clouds()
+
+    pts = []
+    for seed in range(n_models):
+        t0 = time.time()
+        params, _, eval_acc = train.train_on_clouds(
+            corpus, steps=steps, batch=16, bucket=512, pool=pool, seed=seed,
+            eval_paths=[f"{data}/hand.xyz"], verbose=False,
+            learning_rate=1e-3,
+        )
+        pt = outdir / f"model_{seed}.pt"
+        checkpoints.save_state_dict(
+            {k: np.asarray(v) for k, v in params.items()}, pt)
+        pt.with_suffix(".txt").write_text(f"pool: {pool}\n")
+        pts.append(pt)
+        print(f"seed {seed}: {steps} steps in {time.time()-t0:.0f}s, "
+              f"held-out acc {eval_acc:.4f} -> {pt}")
+
+    accs, ens_acc = _eval_checkpoints_on_hand(pts)
+    for i, a in enumerate(accs):
+        print(f"model_{i}: gauge-free held-out acc {a:.4f}")
+    print(f"ENSEMBLE ({n_models} models): gauge-free held-out acc {ens_acc:.4f}")
+
+    # end-to-end through the normal ensemble pipeline
+    from dipole_tpu.cli import orient_pointcloud as op
+    from tools.eval_result import main as eval_main
+
+    exp = Path("/tmp/train_demo_hand_ensemble")
+    exp.mkdir(exist_ok=True)
+    op.main([
+        "--pc", f"{data}/hand.xyz", "--export_dir", str(exp),
+        "--models", *[str(p) for p in pts],
+        "--iters", "10", "--propagation_iters", "5", "--number_parts", "30",
+        "--minimum_points_per_patch", "100", "--curvature_threshold", "0.01",
+        "--diffuse", "--weighted_prop", "--estimate_normals",
+    ])
+    agree = eval_main(exp / "final_result.xyz", f"{data}/hand.xyz")
+    print(f"orient_pointcloud(hand) with the trained ensemble: "
+          f"{agree:.4f} GT sign agreement")
+    return accs, ens_acc, agree
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--real":
         steps = int(sys.argv[2]) if len(sys.argv) > 2 else 600
         main_real(steps)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ensemble":
+        steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1600
+        n_models = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+        main_ensemble(steps, n_models)
     else:
         steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
         out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dipole_tpu_trained.pt"
