@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections import deque
 import heapq
+import warnings
 
 import numpy as np
 from scipy.spatial import cKDTree
@@ -99,7 +100,8 @@ class LinkedListGraph:
                 q.append(nxt)
                 components += 1
         if components != 1:
-            print(f"bfs warning::unit= {components}")
+            warnings.warn(f"graph is disconnected: BFS route restarted across "
+                          f"{components} components")
         return res
 
     def get_weighted_bfs_route(self, start: int) -> np.ndarray:
@@ -126,7 +128,8 @@ class LinkedListGraph:
                 heapq.heappush(q, (0.0, nxt))
                 components += 1
         if components != 1:
-            print(f"bfs warning::unit= {components}")
+            warnings.warn(f"graph is disconnected: BFS route restarted across "
+                          f"{components} components")
         return res
 
 
@@ -146,7 +149,8 @@ class CSRGraph:
 
         route, components = native.bfs_route_csr(self.indptr, self.indices, start)
         if components != 1:
-            print(f"bfs warning::unit= {components}")
+            warnings.warn(f"graph is disconnected: BFS route restarted across "
+                          f"{components} components")
         return route
 
     def get_weighted_bfs_route(self, start: int) -> np.ndarray:

@@ -123,6 +123,52 @@ def vase_cloud(n, seed=0):
     return pc[rng.permutation(len(pc))].astype(np.float32)
 
 
+def hand_balls(seed):
+    """A randomized hand: flattened palm slab + five finger chains + wrist.
+    The finger chains are thin, near-parallel and close together — the
+    category (articulated thin structures, cf. the reference's hands
+    checkpoints) that blobby chains don't cover."""
+    rng = np.random.default_rng(seed)
+    balls = []
+    # palm: 2x3 grid of mid-size balls in the y~0 plane, squashed look
+    for ix in range(3):
+        for iy in range(2):
+            c = (-0.22 + 0.22 * ix + rng.normal(0, 0.01),
+                 -0.05 + 0.16 * iy + rng.normal(0, 0.01),
+                 rng.normal(0, 0.015))
+            balls.append((c, float(rng.uniform(0.16, 0.19))))
+    # wrist
+    balls.append(((0.0, -0.30, 0.0), float(rng.uniform(0.14, 0.17))))
+    balls.append(((0.0, -0.48, 0.0), float(rng.uniform(0.12, 0.15))))
+    # four fingers: chains rising from the palm's top edge, slight spread
+    # and curl; neighbouring fingers nearly touch
+    for f in range(4):
+        x0 = -0.24 + 0.175 * f + rng.normal(0, 0.008)
+        spread = np.deg2rad(rng.uniform(-6, 6) + (f - 1.5) * 4.0)
+        curl = np.deg2rad(rng.uniform(5, 30))
+        seg = float(rng.uniform(0.085, 0.105))
+        r = float(rng.uniform(0.055, 0.07))
+        x, y, z, ang = x0, 0.24, 0.0, 0.0
+        k = int(rng.integers(5, 7))
+        for j in range(k):
+            x += seg * np.sin(spread)
+            y += seg * np.cos(spread) * np.cos(ang)
+            z -= seg * np.sin(ang)
+            ang += curl * rng.uniform(0.6, 1.4)
+            balls.append(((x, y, z), r * (1.0 - 0.04 * j)))
+    # thumb: shorter chain off the palm side, angled outward
+    x, y, z = -0.36, -0.02, 0.02
+    th = np.deg2rad(rng.uniform(35, 55))
+    seg = float(rng.uniform(0.09, 0.11))
+    r = float(rng.uniform(0.06, 0.075))
+    for j in range(4):
+        x -= seg * np.cos(th)
+        y += seg * np.sin(th)
+        z += seg * rng.uniform(0.0, 0.25)
+        balls.append(((x, y, z), r * (1.0 - 0.05 * j)))
+    return balls
+
+
 def random_balls(seed, k=None):
     """A random connected metaball chain — unlimited distinct training
     shapes with exact GT normals. Each ball's center lies within the radius
@@ -145,6 +191,8 @@ SHAPES = {
     "alien": lambda n, seed: metaball_cloud(n, ALIEN_BALLS, seed=seed),
     "vase": vase_cloud,
     "blobs": lambda n, seed: metaball_cloud(n, random_balls(seed), seed=seed),
+    "hand": lambda n, seed: metaball_cloud(n, hand_balls(seed), iso=1.6,
+                                           res=160, seed=seed),
 }
 
 

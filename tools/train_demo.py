@@ -64,7 +64,12 @@ def _synth_training_clouds(tmpdir="/tmp/dipole_tpu_train_shapes"):
     tmpdir.mkdir(exist_ok=True)
     specs = [("lion", 40000, 77), ("vase", 40000, 78), ("alien", 40000, 79),
              ("blobs", 30000, 101), ("blobs", 30000, 102),
-             ("blobs", 30000, 103), ("blobs", 30000, 104)]
+             ("blobs", 30000, 103), ("blobs", 30000, 104),
+             # hand-category shapes (articulated thin fingers) — the
+             # reference's own hands.pt/hands2.pt are category-matched to
+             # its hand demo; the real hand.xyz stays fully held out
+             ("hand", 30000, 201), ("hand", 30000, 202),
+             ("hand", 30000, 203), ("hand", 30000, 204)]
     out = []
     for shape, n, seed in specs:
         path = tmpdir / f"{shape}_{seed}_{n}.xyz"
