@@ -49,21 +49,21 @@ def orient_simple(points, diffuse: bool = False, estimate: bool = False,
                   n: int = 30, timer=None) -> np.ndarray:
     """Per-point strongest-field propagation (reference orient_simple.py:8-34):
     (estimate) -> normalize -> propagate -> lattice sign fix -> denormalize."""
-    MyTimer = timer or timer_factory()
+    stage_timer = timer or timer_factory()
     input_pc = np.asarray(points, dtype=np.float32)
 
     if estimate or input_pc.shape[1] == 3:
-        with MyTimer("estimate unoriented normals"):
+        with stage_timer("estimate unoriented normals"):
             input_pc = estimate_normals(input_pc, max_nn=n)
 
     input_pc, transform = Transform.trans(input_pc)
 
-    with MyTimer("dipole propagation"):
+    with stage_timer("dipole propagation"):
         input_pc = propagate.strongest_field_propagation_points(
             input_pc, diffuse=diffuse, starting_point=0
         )
 
-    input_pc = _sign_fix(input_pc, MyTimer)
+    input_pc = _sign_fix(input_pc, stage_timer)
     return transform.inverse(input_pc)
 
 
@@ -79,25 +79,25 @@ def orient_patches(points, models=(), iters: int = 100,
     final propagation -> lattice sign fix."""
     import jax
 
-    MyTimer = timer or timer_factory()
+    stage_timer = timer or timer_factory()
     pc = np.asarray(points, dtype=np.float32)
     if estimate or pc.shape[1] == 3:
-        with MyTimer("estimate unoriented normals"):
+        with stage_timer("estimate unoriented normals"):
             pc = estimate_normals(pc, max_nn=n)
     input_pc, transform = Transform.trans(pc)
 
     models = _as_models(models)
 
-    with MyTimer("voxel patching"):
+    with stage_timer("voxel patching"):
         all_patches = divide_pc(input_pc[:, :3], number_parts,
                                 min_patch=minimum_points_per_patch)
 
-    with MyTimer("curvature filter"):
+    with stage_timer("curvature filter"):
         patch_indices = fix_n_filter(input_pc, all_patches, curvature_threshold)
 
     print(f"number of patches {len(patch_indices)}")
 
-    with MyTimer("centroid init"):
+    with stage_timer("centroid init"):
         for _, p in patch_indices:
             input_pc[p] = orient_center_np(input_pc[p])
 
@@ -111,7 +111,7 @@ def orient_patches(points, models=(), iters: int = 100,
         )
 
     for it in range(iters):
-        with MyTimer(f"iteration {it}"):
+        with stage_timer(f"iteration {it}"):
             if models and patch_indices:
                 # one batched ensemble pass over all filtered patches (each
                 # forward reads only its own patch, so this is exactly the
@@ -127,13 +127,13 @@ def orient_patches(points, models=(), iters: int = 100,
                     input_pc[pidx[flip], 3:6] *= -1
 
             if it % propagation_iters == 0 and (it != 0 or propagation_iters == 1):
-                with MyTimer("patch propagation"):
+                with stage_timer("patch propagation"):
                     input_pc = propagate_now()
 
-    with MyTimer("patch propagation"):
+    with stage_timer("patch propagation"):
         input_pc = propagate_now()
 
-    input_pc = _sign_fix(input_pc, MyTimer)
+    input_pc = _sign_fix(input_pc, stage_timer)
     return transform.inverse(input_pc)
 
 
@@ -147,30 +147,30 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
     pipeline, orient_large.py:17-24)."""
     import jax
 
-    MyTimer = timer or timer_factory()
+    stage_timer = timer or timer_factory()
     input_pc = np.asarray(points, dtype=np.float32)
     input_pc, transform = Transform.trans(input_pc)
 
     if estimate or input_pc.shape[1] == 3:
-        with MyTimer("estimate unoriented normals"):
+        with stage_timer("estimate unoriented normals"):
             input_pc = estimate_normals(input_pc, max_nn=n)
 
     models = _as_models(models)
 
-    with MyTimer("voxel patching"):
+    with stage_timer("voxel patching"):
         all_patches = divide_pc(input_pc[:, :3], number_parts,
                                 min_patch=minimum_points_per_patch)
 
-    with MyTimer("curvature filter"):
+    with stage_timer("curvature filter"):
         patch_indices = fix_n_filter(input_pc, all_patches, curvature_threshold)
 
     print(f"number of patches {len(patch_indices)}/{len(all_patches)}")
 
-    with MyTimer("centroid init"):
+    with stage_timer("centroid init"):
         for _, p in patch_indices:
             input_pc[p] = orient_center_np(input_pc[p])
 
-    with MyTimer("pick representatives"):
+    with stage_timer("pick representatives"):
         rng = np.random.default_rng(seed)
         represent = []
         for p in all_patches:
@@ -180,7 +180,7 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
     pc_probs = np.ones(len(input_pc), dtype=np.float32)
     key = jax.random.PRNGKey(1)
 
-    with MyTimer("network correction"):
+    with stage_timer("network correction"):
         rep_sets = [represent[i][0] for i, _ in patch_indices] if models else []
         # the reference runs iters sequential re-votes per patch; the patches
         # are independent, so each round is one batched ensemble pass
@@ -193,12 +193,12 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
                 pc_probs[reps] = probs
                 input_pc[reps[flip], 3:6] *= -1
 
-    with MyTimer("dipole propagation"):
+    with stage_timer("dipole propagation"):
         input_pc = propagate.strongest_field_propagation_reps(
             input_pc, represent, diffuse=True
         )
 
-    input_pc = _sign_fix(input_pc, MyTimer)
+    input_pc = _sign_fix(input_pc, stage_timer)
     return transform.inverse(input_pc)
 
 

@@ -19,11 +19,11 @@ MAX_PATCH_SIZE = api.MAX_PATCH_SIZE  # reference orient_large.py:14
 
 
 def run(opts):
-    MyTimer = timer_factory()
+    stage_timer = timer_factory()
     export_path = Path(opts.export_dir)
     export_path.mkdir(exist_ok=True, parents=True)
 
-    with MyTimer("load point cloud", count=False):
+    with stage_timer("load point cloud", count=False):
         input_pc = load_xyz(opts.pc, append_normals=False)
     print(input_pc.shape)
 
@@ -32,13 +32,13 @@ def run(opts):
         number_parts=opts.number_parts,
         minimum_points_per_patch=opts.minimum_points_per_patch,
         curvature_threshold=opts.curvature_threshold,
-        estimate=opts.estimate_normals, n=opts.n, timer=MyTimer,
+        estimate=opts.estimate_normals, n=opts.n, timer=stage_timer,
     )
 
-    with MyTimer("export oriented cloud", count=False):
+    with stage_timer("export oriented cloud", count=False):
         export_pc(oriented, export_path / "final_result.xyz")
 
-    MyTimer.print_total_time()
+    stage_timer.print_total_time()
     return oriented
 
 

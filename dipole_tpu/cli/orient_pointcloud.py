@@ -17,7 +17,7 @@ from dipole_tpu.utils.timing import timer_factory
 
 
 def run(opts):
-    MyTimer = timer_factory()
+    stage_timer = timer_factory()
     export_path = Path(opts.export_dir)
     export_path.mkdir(exist_ok=True, parents=True)
 
@@ -29,10 +29,10 @@ def run(opts):
         minimum_points_per_patch=opts.minimum_points_per_patch,
         curvature_threshold=opts.curvature_threshold,
         diffuse=opts.diffuse, weighted_prop=opts.weighted_prop,
-        estimate=opts.estimate_normals, n=opts.n, timer=MyTimer,
+        estimate=opts.estimate_normals, n=opts.n, timer=stage_timer,
     )
 
-    MyTimer.print_total_time()
+    stage_timer.print_total_time()
     export_pc(oriented, export_path / "final_result.xyz")
     return oriented
 

@@ -19,20 +19,20 @@ from dipole_tpu.utils.timing import timer_factory
 def run(opts):
     export_path = Path(opts.export_dir)
     export_path.mkdir(exist_ok=True, parents=True)
-    MyTimer = timer_factory()
+    stage_timer = timer_factory()
 
-    with MyTimer("load point cloud", count=False):
+    with stage_timer("load point cloud", count=False):
         input_pc = load_xyz(opts.pc)
 
     # reference orient_simple.py:19 pins max_nn=30 (not opts.n)
     oriented = api.orient_simple(input_pc, diffuse=opts.diffuse,
                                  estimate=opts.estimate_normals, n=30,
-                                 timer=MyTimer)
+                                 timer=stage_timer)
 
-    with MyTimer("export oriented cloud", count=False):
+    with stage_timer("export oriented cloud", count=False):
         export_pc(oriented, export_path / "final_result.xyz")
 
-    MyTimer.print_total_time()
+    stage_timer.print_total_time()
     return oriented
 
 

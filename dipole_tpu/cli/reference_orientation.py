@@ -16,23 +16,23 @@ from dipole_tpu.utils.timing import timer_factory
 
 
 def run(opts):
-    MyTimer = timer_factory()
-    with MyTimer("load input cloud", count=False):
+    stage_timer = timer_factory()
+    with stage_timer("load input cloud", count=False):
         input_pc = load_xyz(opts.input, append_normals=False)
-    with MyTimer("load reference cloud", count=False):
+    with stage_timer("load reference cloud", count=False):
         ref_pc = load_xyz(opts.reference)
 
     if input_pc.shape[-1] == 3 and opts.estimate_normals:
-        with MyTimer("estimate unoriented normals"):
+        with stage_timer("estimate unoriented normals"):
             input_pc = estimate_normals(input_pc, max_nn=opts.n)
 
-    with MyTimer("evaluate reference field"):
+    with stage_timer("evaluate reference field"):
         input_pc = reference_field(ref_pc, input_pc)
 
-    with MyTimer("export transferred normals", count=False):
+    with stage_timer("export transferred normals", count=False):
         export_pc(input_pc, opts.output)
 
-    MyTimer.print_total_time()
+    stage_timer.print_total_time()
     return input_pc
 
 

@@ -305,17 +305,17 @@ def graph_dipole(pc_path, use_ncut: bool = True, verbose: bool = False,
                  output_path: str | None = None):
     """Experiment driver with GT metrics and diagnostic dumps (reference
     graph_dipole.py:119-194)."""
-    MyTimer = timer_factory()
-    with MyTimer("load point cloud", count=False):
+    stage_timer = timer_factory()
+    with stage_timer("load point cloud", count=False):
         data = load_point_cloud(pc_path)
     has_gt = data.shape[1] == 6 and np.abs(data[:, 3:6]).sum() > 0
     gt_pc = data.copy() if has_gt else None
     input_pc, transform = Transform.trans(data)
 
-    with MyTimer("estimate unoriented normals"):
+    with stage_timer("estimate unoriented normals"):
         input_pc = estimate_normals(input_pc, max_nn=30)
 
-    with MyTimer("build patch graph + rectify"):
+    with stage_timer("build patch graph + rectify"):
         method = "ncut_partition" if use_ncut else "grid_partition"
         input_pc, G, patches, flip = graph_dipole_core(
             input_pc, divide_method=method, n_part=10, min_patch=0,

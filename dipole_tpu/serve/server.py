@@ -36,7 +36,7 @@ def serve(host=HOST, port=PORT):
         while True:
             conn, addr = s.accept()
             with conn:
-                print(f"Connected by {addr}")
+                print(f"client connected: {addr}")
                 try:
                     req, xyz = protocol.read_request(conn)
                     print(req)

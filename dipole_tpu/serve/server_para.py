@@ -86,7 +86,7 @@ class Server:
 
     def handle_client(self, conn: socket.socket, addr) -> None:
         with conn:
-            print(f"Connected by {addr}")
+            print(f"client connected: {addr}")
             acquired = 0
             try:
                 req, xyz = protocol.read_request(conn)
@@ -122,7 +122,7 @@ class Server:
                 t = threading.Thread(target=self.handle_client, args=(conn, addr),
                                      daemon=True)
                 t.start()
-                print(f"Active threads: {threading.active_count()}")
+                print(f"handler threads alive: {threading.active_count()}")
 
     def stop(self):
         self._stop.set()
