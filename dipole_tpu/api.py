@@ -238,7 +238,12 @@ def orient(points, method: str = "auto", models=(), **kwargs) -> np.ndarray:
 
         name = {"xie": "xie_propagation", "tree_xie": "tree_xie_propagation",
                 "hoppe": "hoppe_estimate"}[method]
-        config = {"max_nn": kwargs.pop("n", 30), "eps": 1.0, "diffuse": False,
-                  "times": 3, **kwargs}
-        return handlers.dispatch(name, points[:, :3], config)
+        if method == "hoppe":
+            # hoppe_estimate reads k_neighbor/r, not max_nn (serve/handlers.py)
+            config = {"k_neighbor": kwargs.pop("n", 10), **kwargs}
+        else:
+            config = {"max_nn": kwargs.pop("n", 30), "eps": 1.0,
+                      "diffuse": False, "times": 3, **kwargs}
+        out = handlers.dispatch(name, points[:, :3], config)
+        return np.asarray(out, dtype=np.float32)  # same dtype as the other methods
     raise ValueError(f"unknown method {method!r}")

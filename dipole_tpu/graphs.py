@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections import deque
 import heapq
-import warnings
+import sys
 
 import numpy as np
 from scipy.spatial import cKDTree
@@ -100,8 +100,8 @@ class LinkedListGraph:
                 q.append(nxt)
                 components += 1
         if components != 1:
-            warnings.warn(f"graph is disconnected: BFS route restarted across "
-                          f"{components} components")
+            print(f"graph is disconnected: BFS route restarted across "
+                  f"{components} components", file=sys.stderr)
         return res
 
     def get_weighted_bfs_route(self, start: int) -> np.ndarray:
@@ -128,8 +128,8 @@ class LinkedListGraph:
                 heapq.heappush(q, (0.0, nxt))
                 components += 1
         if components != 1:
-            warnings.warn(f"graph is disconnected: BFS route restarted across "
-                          f"{components} components")
+            print(f"graph is disconnected: BFS route restarted across "
+                  f"{components} components", file=sys.stderr)
         return res
 
 
@@ -149,8 +149,8 @@ class CSRGraph:
 
         route, components = native.bfs_route_csr(self.indptr, self.indices, start)
         if components != 1:
-            warnings.warn(f"graph is disconnected: BFS route restarted across "
-                          f"{components} components")
+            print(f"graph is disconnected: BFS route restarted across "
+                  f"{components} components", file=sys.stderr)
         return route
 
     def get_weighted_bfs_route(self, start: int) -> np.ndarray:

@@ -66,6 +66,12 @@ def _knn_self(pos, k):
     return jnp.moveaxis(idx, 0, 1)                       # (N, k)
 
 
+def _clip_bound(n: int) -> float:
+    """Static clamp for pos_diff: covers any valid-valid pair of z-scored
+    coords (max |z| = sqrt(n)) with margin, far below the 1e6 sentinel."""
+    return max(64.0, 4.0 * float(n) ** 0.5)
+
+
 def _xconv(p, prefix, x, pos, K, C_in, C_out):
     """One XConv stage (reference models/XConv.py:119-157)."""
     N = pos.shape[0]
@@ -75,9 +81,11 @@ def _xconv(p, prefix, x, pos, K, C_in, C_out):
     # pos_diff is a pair involving a _SENTINEL padding row (when fewer than
     # K same-kind rows exist). Unclamped, that 1e6 feeds the X-transform and
     # compounds to inf over the 7 stages — NaN gradients via 0 * inf even
-    # though padded rows are masked out of the loss. The clamp leaves every
-    # valid-valid pair bit-identical.
-    pos_diff = jnp.clip(pos_diff, -64.0, 64.0)
+    # though padded rows are masked out of the loss. The bound scales with
+    # patch size because z-scored coords can reach sqrt(N) (one dominant
+    # outlier), so valid-valid pairs stay bit-identical at any bucket size
+    # while sentinel pairs (1e6) are still clamped.
+    pos_diff = jnp.clip(pos_diff, -_clip_bound(N), _clip_bound(N))
 
     if x is None:
         h = _elu(_linear(p, f"{prefix}.mlp1.0", pos_diff.reshape(-1, 3)))

@@ -18,6 +18,7 @@ import numpy as np
 
 REQUEST_BUFFER_SIZE = 1000
 BYTES_PER_POINT = 24  # 3 x float64
+HEADER_TIMEOUT_S = 20.0  # bound on waiting for the JSON header to complete
 
 
 def recv_exact(conn: socket.socket, size: int) -> bytes:
@@ -50,18 +51,32 @@ def recv_exact_header(conn: socket.socket) -> bytes:
     TCP may legally fragment the header; a single recv() (what the reference
     does at socket_server_para.py:141) would drop such clients. Parsing as
     the stop condition keeps byte-compatibility: well-behaved clients send
-    exactly one JSON object and no payload bytes until they see the OK."""
+    exactly one JSON object and no payload bytes until they see the OK.
+
+    Two guards keep a bad client from wedging the accept loop: bytes that
+    cannot be a JSON-object prefix (e.g. an HTTP probe) fail immediately,
+    and a header that never completes times out after HEADER_TIMEOUT_S."""
     buf = b""
-    while len(buf) < REQUEST_BUFFER_SIZE:
-        chunk = conn.recv(REQUEST_BUFFER_SIZE - len(buf))
-        if not chunk:
-            break
-        buf += chunk
-        try:
-            json.loads(buf)
-            return buf
-        except json.JSONDecodeError:
-            continue
+    prev_timeout = conn.gettimeout()
+    conn.settimeout(HEADER_TIMEOUT_S)
+    try:
+        while len(buf) < REQUEST_BUFFER_SIZE:
+            try:
+                chunk = conn.recv(REQUEST_BUFFER_SIZE - len(buf))
+            except socket.timeout:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            if not buf.lstrip()[:1] == b"{":
+                break  # not this protocol; let the caller reply ERROR
+            try:
+                json.loads(buf)
+                return buf
+            except json.JSONDecodeError:
+                continue
+    finally:
+        conn.settimeout(prev_timeout)
     return buf
 
 

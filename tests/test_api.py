@@ -7,9 +7,7 @@ from dipole_tpu import api
 from tests.conftest import make_sphere, scramble_signs
 
 
-def _gt_agreement(oriented, gt):
-    s = (oriented[:, 3:6] * gt[:, 3:6]).sum(1) > 0
-    return max(s.mean(), 1 - s.mean())
+from dipole_tpu.ops.metrics import sign_agreement as _gt_agreement  # noqa: E402
 
 
 def test_orient_simple_array_roundtrip():

@@ -112,8 +112,9 @@ def load6(path) -> np.ndarray:
 
 
 def agreement(a: np.ndarray, b: np.ndarray) -> float:
-    s = (a[:, 3:6] * b[:, 3:6]).sum(1) > 0
-    return float(max(s.mean(), 1 - s.mean()))
+    from dipole_tpu.ops.metrics import sign_agreement
+
+    return sign_agreement(a, b)
 
 
 def main(argv=None):

@@ -51,14 +51,20 @@ def main(n_clients=4, n_points=10000, rounds=3):
         protocol.request("127.0.0.1", port, fn, cloud(n_points, 0), cfg)
 
         lat: list = []
+        errors: list = []
         lock = threading.Lock()
 
         def worker(seed):
-            xyz = cloud(n_points, seed)
-            t0 = time.perf_counter()
-            out = protocol.request("127.0.0.1", port, fn, xyz, cfg)
-            dt = time.perf_counter() - t0
-            assert out.shape == (n_points, 6)
+            try:
+                xyz = cloud(n_points, seed)
+                t0 = time.perf_counter()
+                out = protocol.request("127.0.0.1", port, fn, xyz, cfg)
+                dt = time.perf_counter() - t0
+                assert out.shape == (n_points, 6)
+            except Exception as e:
+                with lock:
+                    errors.append(e)
+                return
             with lock:
                 lat.append(dt)
 
@@ -71,6 +77,10 @@ def main(n_clients=4, n_points=10000, rounds=3):
             for t in threads:
                 t.join()
         wall = time.perf_counter() - t0
+        if errors:
+            raise RuntimeError(
+                f"{fn}: {len(errors)}/{rounds * n_clients} requests failed; "
+                f"first: {errors[0]!r}")
         n_req = rounds * n_clients
         print(f"{fn}: {n_clients} concurrent x {rounds} rounds of "
               f"{n_points}-pt requests: "
