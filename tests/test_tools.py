@@ -44,7 +44,7 @@ def test_server_warmup_tiny():
 def test_make_shape_generators():
     from tools import make_shape
 
-    for name in ["lion", "vase", "alien"]:
+    for name in ["lion", "vase", "alien", "hand"]:
         pc = make_shape.SHAPES[name](2000, 0)
         assert pc.shape == (2000, 6)
         n = np.linalg.norm(pc[:, 3:], axis=1)
