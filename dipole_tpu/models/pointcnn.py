@@ -53,7 +53,13 @@ def _elu(x):
 
 
 def _knn_self(pos, k):
-    """Self-inclusive kNN among the padded patch (small N: dense)."""
+    """Self-inclusive kNN among the padded patch (small N: dense).
+
+    The k-step masked-argmin scan is deliberate: a stable argsort computes
+    identical selections and times marginally faster warm (180 vs 217 ms on
+    a (128, 512) batch), but inside the full vmapped forward the sort makes
+    the axon remote compile pathological (>20 min vs ~35 s; measured, then
+    reverted) — cf. the same backend's lax.top_k behavior."""
     d2 = jnp.sum((pos[None, :, :] - pos[:, None, :]) ** 2, axis=-1)
     rows = jnp.arange(pos.shape[0])
 
@@ -282,9 +288,15 @@ def _forward_batched(p, pc, valid, keys, pool, m1: int, m2: int):
 # Widest vmapped batch per compiled program. Wider batches amortize dispatch
 # better but the program size grows linearly with the batch width; at 256-wide
 # x 1024-point buckets the backend's remote compiler falls over (HTTP 500,
-# vase demo) — 32 keeps every program comfortably compilable and still gets
-# within ~15% of the wide-batch warm throughput.
-MAX_FORWARD_BATCH = 32
+# vase demo). The width budget scales inversely with the bucket so the
+# program size stays bounded: bucket 512 -> 128 wide (measured: 0.95s vs
+# 1.23s per 382-patch pass at 32 wide), bucket 1024 -> 64, bucket 2048 -> 32.
+MAX_FORWARD_ELEMS = 65536
+MAX_FORWARD_BATCH = 128  # cap; effective width = min(this, ELEMS // bucket)
+
+
+def _forward_width(bucket: int) -> int:
+    return max(8, min(MAX_FORWARD_BATCH, MAX_FORWARD_ELEMS // bucket))
 
 
 def pointcnn_logits_batched(params, pool: float, patches, key=None,
@@ -303,9 +315,10 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
     m2 = int(-(-m1 * pool // 1))
     keys = jax.random.split(key, len(patches))
 
+    width = _forward_width(nb)
     results: list = [None] * len(patches)
-    for lo in range(0, len(patches), MAX_FORWARD_BATCH):
-        chunk = patches[lo:lo + MAX_FORWARD_BATCH]
+    for lo in range(0, len(patches), width):
+        chunk = patches[lo:lo + width]
         Bp = _bucket(len(chunk), base=8)
         pc = np.zeros((Bp, nb, 6), np.float32)
         valid = np.zeros((Bp, nb), bool)
