@@ -291,12 +291,18 @@ def _forward_batched(p, pc, valid, keys, pool, m1: int, m2: int):
 # vase demo). The width budget scales inversely with the bucket so the
 # program size stays bounded: bucket 512 -> 128 wide (measured: 0.95s vs
 # 1.23s per 382-patch pass at 32 wide), bucket 1024 -> 64, bucket 2048 -> 32.
+# High pool ratios barely shrink the stages (pool 0.99 keeps ~all points
+# through the encoder), which superlinearly inflates compile time with
+# width: pool 0.99 at bucket 512 compiles in 70.8s at width 32 and 3.3s at
+# 64, but 500s+ at 128 (measured) — so the budget halves above POOL_WIDE.
 MAX_FORWARD_ELEMS = 65536
-MAX_FORWARD_BATCH = 128  # cap; effective width = min(this, ELEMS // bucket)
+MAX_FORWARD_BATCH = 128  # cap; effective width = min(this, budget // bucket)
+POOL_WIDE = 0.8
 
 
-def _forward_width(bucket: int) -> int:
-    return max(8, min(MAX_FORWARD_BATCH, MAX_FORWARD_ELEMS // bucket))
+def _forward_width(bucket: int, pool: float = 0.6) -> int:
+    elems = MAX_FORWARD_ELEMS // 2 if pool > POOL_WIDE else MAX_FORWARD_ELEMS
+    return max(8, min(MAX_FORWARD_BATCH, elems // bucket))
 
 
 def pointcnn_logits_batched(params, pool: float, patches, key=None,
@@ -315,7 +321,7 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
     m2 = int(-(-m1 * pool // 1))
     keys = jax.random.split(key, len(patches))
 
-    width = _forward_width(nb)
+    width = _forward_width(nb, pool)
     results: list = [None] * len(patches)
     for lo in range(0, len(patches), width):
         chunk = patches[lo:lo + width]
