@@ -1,0 +1,112 @@
+"""Pre-compile the framework's hot programs so first real runs are warm.
+
+The axon TPU backend defers XLA compilation to first execution and the
+compile happens server-side (minutes for the widest PointCNN programs, and
+the local persistent cache cannot always avoid it). Running this once after
+install — or after changing model pools / forward-width policy — walks the
+standard program matrix:
+
+  * dipole field/potential kernels at the Pallas block shapes
+  * greedy propagation (matrix and on-the-fly) at small sizes
+  * the batched PointCNN forward at every (bucket, width, pool) the demo
+    suite reaches: (512, 0.6), (512, 0.99), (1024, 0.6), (1024, 0.99)
+
+Tiny inputs are used everywhere — compile time depends on shapes, not
+values. Expect ~5-15 minutes on a cold cache; reruns are seconds.
+
+Usage: python tools/warm_compile_cache.py [--network-only]
+"""
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _cloud(n, seed=0):
+    r = np.random.default_rng(seed)
+    pc = r.normal(size=(n, 6)).astype(np.float32)
+    pc[:, 3:] /= np.linalg.norm(pc[:, 3:], axis=1, keepdims=True)
+    return pc
+
+
+def _stage(label, fn):
+    t0 = time.time()
+    fn()
+    print(f"  {label}: {time.time() - t0:.1f}s", flush=True)
+
+
+def warm_kernels():
+    import jax
+
+    from dipole_tpu.ops import fields, propagate
+
+    pc = _cloud(4096)
+    big = _cloud(20000, 1)
+    _stage("field_grad (XLA block path)",
+           lambda: np.asarray(fields.field_grad(pc, pc[:, :3])))
+    _stage("field_grad (Pallas panel path)",
+           lambda: np.asarray(fields.field_grad(big, big[:, :3])))
+    _stage("potential + lattice sign fix",
+           lambda: fields.measure_mean_potential(pc))
+    _stage("greedy propagation (matrix)",
+           lambda: propagate.strongest_field_propagation_points(_cloud(2048)))
+    _stage("greedy propagation (on-the-fly)",
+           lambda: propagate.strongest_field_propagation_points(_cloud(16384, 2)))
+    _stage("point-group interaction",
+           lambda: np.asarray(fields.point_group_interaction(
+               pc, np.arange(len(pc)) % 7, 7)))
+    del jax
+
+
+def warm_network(model_paths=None):
+    import jax
+
+    from dipole_tpu.models.pointcnn import (PointCNNParams, _bucket,
+                                            pointcnn_logits_batched)
+    from dipole_tpu import train
+
+    pools = {}
+    for p in model_paths or []:
+        m = PointCNNParams.from_files(p)
+        pools[m.pool] = m.params
+    for pool in (0.6, 0.99):
+        if pool not in pools:
+            pools[pool] = train.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    for bucket in (512, 1024):
+        # one full chunk at this bucket's width forces the widest program
+        from dipole_tpu.models.pointcnn import _forward_width
+
+        for pool, params in sorted(pools.items()):
+            width = _forward_width(bucket, pool)
+            patches = [
+                _cloud(bucket // 2 + 1 if i == 0 else int(rng.integers(64, bucket)),
+                       seed=i)
+                for i in range(width)
+            ]
+            assert _bucket(max(len(p) for p in patches)) == bucket
+            _stage(f"PointCNN forward bucket {bucket} width {width} pool {pool}",
+                   lambda p=params, pool=pool, pat=patches:
+                   pointcnn_logits_batched(p, pool, pat,
+                                           key=jax.random.PRNGKey(0)))
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    t0 = time.time()
+    ref = Path("/root/reference/pre_trained")
+    models = sorted(ref.glob("*.pt")) if ref.exists() else []
+    if "--network-only" not in argv:
+        print("kernels:", flush=True)
+        warm_kernels()
+    print("network programs:", flush=True)
+    warm_network(models)
+    print(f"cache warm in {time.time() - t0:.0f}s total", flush=True)
+
+
+if __name__ == "__main__":
+    main()
