@@ -84,3 +84,23 @@ def test_cli_matches_api(tmp_path):
     file_out = load_xyz(tmp_path / "out" / "final_result.xyz")
     mem_out = api.orient_simple(load_xyz(tmp_path / "in.xyz"), diffuse=True)
     assert np.allclose(file_out, mem_out, atol=1e-4)
+
+
+def test_orient_hoppe_maps_n_to_neighborhood(monkeypatch):
+    """orient(method='hoppe', n=...) must reach hoppe_estimate as
+    k_neighbor (it ignores max_nn), and results come back float32."""
+    from dipole_tpu.serve import handlers
+
+    seen = {}
+    real = handlers.dispatch
+
+    def spy(name, xyz, config, **kw):
+        seen.update(config, _name=name)
+        return real(name, xyz, config, **kw)
+
+    monkeypatch.setattr(handlers, "dispatch", spy)
+    pts = make_sphere(120, seed=5)[:, :3]
+    out = dipole_tpu.orient(pts, method="hoppe", n=12)
+    assert seen["_name"] == "hoppe_estimate"
+    assert seen["k_neighbor"] == 12 and "max_nn" not in seen
+    assert out.dtype == np.float32 and out.shape == (120, 6)

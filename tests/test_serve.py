@@ -124,3 +124,21 @@ def test_admission_control_queues():
     ac.release(10)
     t.join(timeout=2)
     assert done
+
+
+def test_http_probe_fails_fast_and_server_stays_live(live_server):
+    """Bytes that cannot be a JSON header (e.g. an HTTP scanner) must get an
+    immediate ERROR instead of wedging the accept loop on a blocking recv."""
+    import json
+
+    host, port = live_server
+    with socket.create_connection((host, port), timeout=10) as s:
+        s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+        t0 = time.time()
+        reply = s.recv(protocol.REQUEST_BUFFER_SIZE)
+        assert time.time() - t0 < 5.0
+        assert json.loads(reply)["status"] == "ERROR"
+    # a well-formed request right after must still be served
+    xyz = make_sphere(60, seed=3)[:, :3].astype(np.float64)
+    out = protocol.request(host, port, "simple_estimate", xyz, {"diffuse": False})
+    assert out.shape == (60, 6)
