@@ -297,32 +297,81 @@ def _xie_matrix_padded(tgt6, src6, C):
     return _matrix_blocked(_xie_interaction_tile, tgt6, src6, C)
 
 
-def dipole_interaction_matrix(pts, eps: float = 1e-6, targets=None) -> jnp.ndarray:
+def _prep_targets6(targets, block: int, rows: int | None = None) -> jnp.ndarray:
+    """Pad (N, 6) targets up to `rows` (default: next `block` multiple) with
+    sentinel positions and ZERO normals. Zero normals make every interaction
+    tile exactly 0 on padded target rows (both kernels end with a `. n_t`
+    factor), matching the exact-zero columns of zero-moment padded sources —
+    so a matrix computed at a padded size needs no post-slicing."""
+    tgt = jnp.asarray(targets, jnp.float32)
+    want = rows if rows is not None else tgt.shape[0] + (-tgt.shape[0]) % block
+    rem = want - tgt.shape[0]
+    if rem:
+        pad = jnp.concatenate(
+            [jnp.full((rem, 3), _SENTINEL, jnp.float32),
+             jnp.zeros((rem, tgt.shape[1] - 3), jnp.float32)], axis=1)
+        tgt = jnp.concatenate([tgt, pad], axis=0)
+    return tgt
+
+
+def _prep_sources_to(sources, rows: int) -> jnp.ndarray:
+    """_prep_sources, but padded to exactly `rows` (multiple of BLOCK_S)."""
+    src = jnp.asarray(sources, dtype=jnp.float32)
+    rem = rows - src.shape[0]
+    if rem:
+        pad = jnp.concatenate(
+            [jnp.full((rem, 3), _SENTINEL, jnp.float32),
+             jnp.zeros((rem, 3), jnp.float32)], axis=1)
+        src = jnp.concatenate([src, pad], axis=0)
+    return src
+
+
+def dipole_interaction_matrix(pts, eps: float = 1e-6, targets=None,
+                              bucket: int | None = None) -> jnp.ndarray:
     """I[i, j] = (dipole field of point j evaluated at point i) . n_i.
 
     Every greedy propagation variant is linear in the per-source sign, so a
     single precomputed I turns the reference's per-step field updates
-    (field_utils.py:353-388) into I-row accumulations."""
+    (field_utils.py:353-388) into I-row accumulations.
+
+    bucket: compute directly at (bucket, bucket) with exactly-zero padded
+    rows/columns and no post-slice — one live full-size array instead of
+    three (matters at 30k+: each copy is N^2 * 4 bytes). Requires
+    targets=None and bucket a multiple of BLOCK_T/BLOCK_S >= len(pts)."""
+    if bucket is not None:
+        assert targets is None and bucket % BLOCK_T == 0 \
+            and bucket % BLOCK_S == 0 and bucket >= np.shape(pts)[0]
+        tgt = _prep_targets6(pts, BLOCK_T, rows=bucket)
+        src = _prep_sources_to(pts, bucket)
+        return _dipole_matrix_padded(tgt, src, jnp.float32(eps))
     src = _prep_sources(pts)
     m = np.shape(pts)[0]
     if targets is None:
         targets = pts
     n = np.shape(targets)[0]
-    tgt = _pad_rows(jnp.asarray(targets, jnp.float32), BLOCK_T, _SENTINEL)
+    tgt = _prep_targets6(targets, BLOCK_T)
     return _dipole_matrix_padded(tgt, src, jnp.float32(eps))[:n, :m]
 
 
-def xie_interaction_matrix(pts, C: float = 3.0, targets=None, knn_mask=None) -> jnp.ndarray:
+def xie_interaction_matrix(pts, C: float = 3.0, targets=None, knn_mask=None,
+                           bucket: int | None = None) -> jnp.ndarray:
     """Mirror-field interaction matrix (reference xie_intersaction,
     field_utils.py:509-519). knn_mask: optional (N_t, N_s) 0/1 array keeping
     pair (i, j) iff target i is among source j's k nearest targets
-    (reference field_utils.py:449-458)."""
+    (reference field_utils.py:449-458). bucket: as in
+    dipole_interaction_matrix (exact-zero padded, no post-slice)."""
+    if bucket is not None:
+        assert targets is None and knn_mask is None and bucket % BLOCK_T == 0 \
+            and bucket % BLOCK_S == 0 and bucket >= np.shape(pts)[0]
+        tgt = _prep_targets6(pts, BLOCK_T, rows=bucket)
+        src = _prep_sources_to(pts, bucket)
+        return _xie_matrix_padded(tgt, src, jnp.float32(C))
     src = _prep_sources(pts)
     if targets is None:
         targets = pts
     n = np.shape(targets)[0]
     m = np.shape(pts)[0]
-    tgt = _pad_rows(jnp.asarray(targets, jnp.float32), BLOCK_T, _SENTINEL)
+    tgt = _prep_targets6(targets, BLOCK_T)
     I = _xie_matrix_padded(tgt, src, jnp.float32(C))[:n, :m]
     if knn_mask is not None:
         I = I * jnp.asarray(knn_mask, jnp.float32)

@@ -464,7 +464,10 @@ def _in_order_scan(I: jnp.ndarray, orders: jnp.ndarray, diffuse: bool):
     inter0 = jnp.zeros((T, n), jnp.float32)
     (weights, inter_rec), _ = jax.lax.scan(step, (weights0, inter0), orders.T)
     if diffuse:
-        inter_rec = jnp.dot(weights, I.T, precision=_HI)
+        # contract on I's source axis without materializing I.T (a second
+        # full-size copy at 30k-class buckets)
+        inter_rec = jax.lax.dot_general(
+            weights, I, (((1,), (1,)), ((), ())), precision=_HI)
     return inter_rec < 0
 
 
@@ -486,21 +489,32 @@ def xie_propagation_in_order(pts, orders, eps: float = 1e-2,
     implemented.)"""
     pts = np.asarray(pts, dtype=np.float32)
     n = len(pts)
-    mask = _build_knn_mask(pts, knn_mask) if knn_mask > 0 else None
-    if kernel == "xie":
-        I = fields.xie_interaction_matrix(pts, C=C, knn_mask=mask)
-    elif kernel == "dipole":
-        I = fields.dipole_interaction_matrix(pts, eps=1e-6)
-        if mask is not None:
-            I = I * jnp.asarray(mask, jnp.float32)
-    else:
+    if kernel not in ("xie", "dipole"):
         raise ValueError(f"unknown kernel {kernel!r}")
-    if points_weight is not None:
-        I = I * jnp.asarray(points_weight, jnp.float32)[None, :]
+    mask = _build_knn_mask(pts, knn_mask) if knn_mask > 0 else None
     # pad to a bucket: the dummy index n has an all-zero row/column, so the
     # padded replay steps neither decide nor contribute anything
     nb = _bucket(n + 1)
-    Ipad = jnp.zeros((nb, nb), jnp.float32).at[:n, :n].set(I)
+    direct = (mask is None and points_weight is None
+              and nb % fields.BLOCK_T == 0 and nb % fields.BLOCK_S == 0)
+    if direct:
+        # compute at the bucket directly (exact-zero padding inside the
+        # kernel) — one live (nb, nb) array instead of three full-size
+        # copies, which is what fits 30k-class clouds in HBM
+        if kernel == "xie":
+            Ipad = fields.xie_interaction_matrix(pts, C=C, bucket=nb)
+        else:
+            Ipad = fields.dipole_interaction_matrix(pts, eps=1e-6, bucket=nb)
+    else:
+        if kernel == "xie":
+            I = fields.xie_interaction_matrix(pts, C=C, knn_mask=mask)
+        else:
+            I = fields.dipole_interaction_matrix(pts, eps=1e-6)
+            if mask is not None:
+                I = I * jnp.asarray(mask, jnp.float32)
+        if points_weight is not None:
+            I = I * jnp.asarray(points_weight, jnp.float32)[None, :]
+        Ipad = jnp.zeros((nb, nb), jnp.float32).at[:n, :n].set(I)
     orders = np.asarray(orders, dtype=np.int32)
     opad = np.full((orders.shape[0], nb), n, np.int32)
     opad[:, : orders.shape[1]] = orders

@@ -186,3 +186,24 @@ def test_eigh3x3_gradients_finite_at_degeneracy():
                  [0.0, 0.0, 0.0], [0.0, 0.0, 1.0]):
         g = jax.grad(f)(jnp.diag(jnp.asarray(diag)))
         assert bool(jnp.isfinite(g).all()), diag
+
+
+def test_interaction_matrix_bucket_padding_is_exact_zero():
+    """bucket= computes at the padded size with EXACTLY zero padded
+    rows/columns (zero-normal targets, zero-moment sources) and the same
+    real block as the sliced path."""
+    import jax.numpy as jnp
+    from dipole_tpu.ops import fields
+
+    rng = np.random.default_rng(11)
+    pc = rng.normal(size=(200, 6)).astype(np.float32)
+    pc[:, 3:] /= np.linalg.norm(pc[:, 3:], axis=1, keepdims=True)
+    for fn, kw in [(fields.xie_interaction_matrix, {"C": 3.0}),
+                   (fields.dipole_interaction_matrix, {"eps": 1e-6})]:
+        Ib = np.asarray(fn(pc, bucket=1024, **kw))
+        I = np.asarray(fn(pc, **kw))
+        assert Ib.shape == (1024, 1024)
+        np.testing.assert_array_equal(Ib[200:, :], 0.0)
+        np.testing.assert_array_equal(Ib[:, 200:], 0.0)
+        np.testing.assert_allclose(Ib[:200, :200], I, rtol=1e-6, atol=1e-7)
+    del jnp

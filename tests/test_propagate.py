@@ -109,3 +109,22 @@ def test_dipole_in_order_replay():
         kernel="dipole",
     )
     assert sign_agreement(out, gt) >= 0.95
+
+
+def test_in_order_direct_bucket_matches_fallback():
+    """At n >= BLOCK sizes the replay builds its matrix directly at the
+    bucket (memory path); points_weight=ones forces the sliced+padded
+    fallback with identical math — flips must agree exactly."""
+    from dipole_tpu.ops import propagate
+
+    rng = np.random.default_rng(21)
+    pc = rng.normal(size=(1100, 6)).astype(np.float32)
+    pc[:, 3:] /= np.linalg.norm(pc[:, 3:], axis=1, keepdims=True)
+    orders = np.stack([rng.permutation(1100) for _ in range(3)])
+    for kernel in ("xie", "dipole"):
+        direct = propagate.xie_propagation_in_order(
+            pc, orders, diffuse=True, kernel=kernel)
+        fallback = propagate.xie_propagation_in_order(
+            pc, orders, diffuse=True, kernel=kernel,
+            points_weight=np.ones(1100, np.float32))
+        np.testing.assert_array_equal(direct, fallback)
