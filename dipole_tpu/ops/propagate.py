@@ -405,17 +405,26 @@ def xie_propagation_points(pts, eps: float, diffuse: bool = False,
     pts = np.asarray(pts, dtype=np.float32)
     n = len(pts)
     mask = _build_knn_mask(pts, knn_mask) if knn_mask > 0 else None
-    I = fields.xie_interaction_matrix(pts, C=C, knn_mask=mask)
     nb = _bucket(n)
-    Ipad = jnp.zeros((nb, nb), jnp.float32).at[:n, :n].set(I)
+    if mask is None and nb % fields.BLOCK_T == 0 and nb % fields.BLOCK_S == 0:
+        # one live (nb, nb) array (exact-zero padded in the kernel) instead
+        # of matrix + padded copy — fits 30k-class clouds in HBM
+        Ipad = fields.xie_interaction_matrix(pts, C=C, bucket=nb)
+    else:
+        I = fields.xie_interaction_matrix(pts, C=C, knn_mask=mask)
+        Ipad = jnp.zeros((nb, nb), jnp.float32).at[:n, :n].set(I)
+        del I
     valid = jnp.zeros((nb,), bool).at[:n].set(True)
-    acc, sign = _xie_greedy_scan(Ipad, jnp.int32(starting_point), valid)
-    acc, sign = np.asarray(acc)[:n], np.asarray(sign)[:n]
+    acc, sign_pad = _xie_greedy_scan(Ipad, jnp.int32(starting_point), valid)
+    acc, sign = np.asarray(acc)[:n], np.asarray(sign_pad)[:n]
     if diffuse:
         # reference diffuse_field: interactions of the whole (current) cloud
         # with itself, flip where <= 0 fails; sum over sources incl. self.
-        # computed on device — I is O(N^2) and must not ride the host tunnel
-        inter = np.asarray(jnp.dot(I, jnp.asarray(sign), precision=_HI)) * sign
+        # computed on device — the matrix is O(N^2) and must not ride the
+        # host tunnel; padded columns are exactly zero, so the padded dot's
+        # first n rows equal the unpadded one
+        sp = jnp.zeros((nb,), jnp.float32).at[:n].set(jnp.asarray(sign))
+        inter = np.asarray(jnp.dot(Ipad, sp, precision=_HI))[:n] * sign
         vote = np.where(inter > 0, 1.0, -1.0).astype(np.float32)
         sign = sign * vote
     out = pts.copy()
