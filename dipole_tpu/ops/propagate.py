@@ -535,11 +535,18 @@ def xie_propagation_bfs_tree(pts, eps: float, diffuse: bool = False,
                              starting_point: int = 0, k: int = 10,
                              threshold: float = 0.1, times: int = 1,
                              use_pw: bool = False, knn_mask: int = -1,
-                             C: float = 3.0, kernel: str = "xie"):
+                             C: float = 3.0, kernel: str = "xie",
+                             mesh=None):
     """Multi-start BFS-tree propagation with vote alignment (reference
     field_utils.py:657-710): draw `times` BFS orders from a thresholded kNN
     graph, replay them in lock-step, align runs by solving the binary
     pairwise XOR problem exactly (replacing Gurobi), majority-vote flips.
+
+    mesh: optional jax.sharding.Mesh — the replay then column-shards its
+    O(N^2) interaction matrix over the devices
+    (parallel.sharding.xie_in_order_sharded), raising the single-chip HBM
+    ceiling by ~sqrt(D). Requires knn_mask<=0 and use_pw=False (the masked/
+    weighted variants stay single-device).
 
     Returns (oriented_pts, flip_mask)."""
     assert times % 2 == 1 and times > 0
@@ -563,10 +570,17 @@ def xie_propagation_bfs_tree(pts, eps: float, diffuse: bool = False,
     for i in range(times):
         orders[i] = G.get_bfs_route(starting_points[i])
 
-    flips = xie_propagation_in_order(
-        pts, orders, eps=eps, diffuse=diffuse, C=C, knn_mask=knn_mask,
-        points_weight=points_weight, kernel=kernel,
-    ).T                                                  # (N, T)
+    if mesh is not None and knn_mask <= 0 and points_weight is None:
+        from dipole_tpu.parallel.sharding import xie_in_order_sharded
+
+        flips = xie_in_order_sharded(
+            pts, orders, mesh, C=C, eps=eps, diffuse=diffuse, kernel=kernel,
+        ).T                                              # (N, T)
+    else:
+        flips = xie_propagation_in_order(
+            pts, orders, eps=eps, diffuse=diffuse, C=C, knn_mask=knn_mask,
+            points_weight=points_weight, kernel=kernel,
+        ).T                                              # (N, T)
 
     # align runs: A = pairwise disagreement counts, B = agreement counts;
     # minimize total disagreement over per-run flips (exact enumeration)

@@ -34,7 +34,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from dipole_tpu.ops import fields
 
 __all__ = ["make_mesh", "field_grad_sharded", "potential_sharded",
-           "interaction_accumulate_sharded", "pad_cloud_for_ring"]
+           "interaction_accumulate_sharded", "pad_cloud_for_ring",
+           "greedy_sign_sequence_sharded", "orient_points_multichip",
+           "xie_in_order_sharded"]
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -374,3 +376,78 @@ def orient_points_multichip(pts, mesh: Mesh, diffuse: bool = True,
     if phi.mean() < 0:
         out[:, 3:6] *= -1
     return out
+
+
+def xie_in_order_sharded(pts, orders, mesh: Mesh, C: float = 3.0,
+                         eps: float = 1e-6, diffuse: bool = False,
+                         kernel: str = "xie") -> np.ndarray:
+    """Multi-chip order-driven batch replay (the fork's centerpiece C12,
+    reference field_utils.py:569-605): the O(N^2) interaction matrix is
+    COLUMN-sharded over the mesh — each chip builds and holds only the
+    (N, N/D) block for its own source columns, so the quadratic object
+    scales past one chip's HBM (8 chips raise the 30k single-chip ceiling
+    to ~90k). The lock-step scan stays sequential-exact: each step reduces
+    a (T,)-sized partial interaction with one psum over ICI; weight updates
+    land on the owning column shard only.
+
+    Returns the (T, N) bool flip mask, identical in semantics to
+    ops/propagate.xie_propagation_in_order (same math; the per-step sum is
+    associated per-shard then psum-reduced).
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    pts = np.asarray(pts, np.float32)
+    n = len(pts)
+    blk = max(fields.BLOCK_T, fields.BLOCK_S)
+    shard = -(-max(n + 1, 1) // (n_dev * blk)) * blk      # cols per device
+    nb = shard * n_dev
+    pts_pad = np.zeros((nb, 6), np.float32)
+    pts_pad[:n] = pts
+    pts_pad[n:, :3] = fields._SENTINEL                    # zero moment/normal
+    orders = np.asarray(orders, dtype=np.int32)
+    T = orders.shape[0]
+    opad = np.full((T, nb), n, np.int32)                  # dummy index: row n
+    opad[:, : orders.shape[1]] = orders
+    tile = (fields._xie_interaction_tile if kernel == "xie"
+            else fields._dipole_interaction_tile)
+    arg = jnp.float32(C if kernel == "xie" else eps)
+    rg = jnp.arange(T)
+
+    @partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(), P()),
+        out_specs=P(None, axis),
+    )
+    def run(pts_rep, opad_rep, tile_arg):
+        me = jax.lax.axis_index(axis)
+        base = me * shard
+        src = jax.lax.dynamic_slice_in_dim(pts_rep, base, shard, axis=0)
+        Iloc = fields._matrix_blocked(tile, pts_rep, src, tile_arg)  # (nb, shard)
+
+        def step(carry, idx):                             # idx: (T,)
+            w, rec = carry                                # (T, shard) each
+            rows = Iloc[idx]                              # (T, shard)
+            inter = jax.lax.psum(
+                jnp.einsum("ts,ts->t", rows, w,
+                           precision=jax.lax.Precision.HIGHEST), axis)
+            s = jnp.where(inter < 0, -1.0, 1.0)
+            local = (idx >= base) & (idx < base + shard)
+            li = jnp.clip(idx - base, 0, shard - 1)
+            w = w.at[rg, li].set(jnp.where(local, s, w[rg, li]))
+            rec = rec.at[rg, li].set(jnp.where(local, inter, rec[rg, li]))
+            return (w, rec), None
+
+        w0 = jnp.zeros((T, shard), jnp.float32)
+        (w, rec), _ = jax.lax.scan(step, (w0, w0), opad_rep.T)
+        if diffuse:
+            # rec[t, m] = sum_n w[t, n] I[m, n]: partial over my columns,
+            # then one psum; keep my row-aligned column slice for output
+            part = jax.lax.dot_general(
+                w, Iloc, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)      # (T, nb)
+            full = jax.lax.psum(part, axis)
+            rec = jax.lax.dynamic_slice_in_dim(full, base, shard, axis=1)
+        return rec < 0
+
+    flips = run(jnp.asarray(pts_pad), jnp.asarray(opad), arg)
+    return np.asarray(flips)[:, :n]

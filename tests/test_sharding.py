@@ -139,3 +139,36 @@ def test_dryrun_multichip_from_initialized_process():
     jax.devices()  # ensure a backend exists even when this test runs alone
     assert g._jax_touched()
     g.dryrun_multichip(8)
+
+
+def test_xie_in_order_sharded_matches_single(mesh):
+    """Column-sharded C12 replay: same flip decisions as the single-device
+    lock-step scan, per-device matrix block = N^2/D entries by construction."""
+    from dipole_tpu.ops import propagate
+    from dipole_tpu.parallel.sharding import xie_in_order_sharded
+
+    rng = np.random.default_rng(31)
+    pc = rng.normal(size=(300, 6)).astype(np.float32)
+    pc[:, 3:] /= np.linalg.norm(pc[:, 3:], axis=1, keepdims=True)
+    orders = np.stack([rng.permutation(300) for _ in range(3)])
+    for kernel in ("xie", "dipole"):
+        for diffuse in (False, True):
+            single = propagate.xie_propagation_in_order(
+                pc, orders, diffuse=diffuse, kernel=kernel)
+            multi = xie_in_order_sharded(
+                pc, orders, mesh, diffuse=diffuse, kernel=kernel)
+            assert multi.shape == single.shape
+            agree = (multi == single).mean()
+            assert agree == 1.0, (kernel, diffuse, agree)
+
+
+def test_bfs_tree_mesh_matches_single(mesh):
+    """tree-xie (C13) with mesh=: same oriented output as single-device."""
+    from dipole_tpu.ops import propagate
+
+    pc = make_sphere(260, seed=33)
+    single, _ = propagate.xie_propagation_bfs_tree(
+        pc, eps=0.01, times=3, diffuse=True)
+    multi, _ = propagate.xie_propagation_bfs_tree(
+        pc, eps=0.01, times=3, diffuse=True, mesh=mesh)
+    assert (multi == single).all()
