@@ -64,11 +64,12 @@ def _pad_rows(x: jnp.ndarray, block: int, fill: float = 0.0) -> jnp.ndarray:
     return jnp.concatenate([x, pad], axis=0)
 
 
-def _prep_sources(sources) -> jnp.ndarray:
-    """Pad sources to a BLOCK_S multiple with sentinel position/zero moment."""
+def _prep_sources(sources, rows: int | None = None) -> jnp.ndarray:
+    """Pad sources with sentinel position / zero moment, to `rows` rows
+    (default: the next BLOCK_S multiple)."""
     src = jnp.asarray(sources, dtype=jnp.float32)
     n = src.shape[0]
-    rem = (-n) % BLOCK_S
+    rem = (rows - n) if rows is not None else (-n) % BLOCK_S
     if rem:
         pad = jnp.concatenate(
             [jnp.full((rem, 3), _SENTINEL, jnp.float32), jnp.zeros((rem, 3), jnp.float32)],
@@ -314,18 +315,6 @@ def _prep_targets6(targets, block: int, rows: int | None = None) -> jnp.ndarray:
     return tgt
 
 
-def _prep_sources_to(sources, rows: int) -> jnp.ndarray:
-    """_prep_sources, but padded to exactly `rows` (multiple of BLOCK_S)."""
-    src = jnp.asarray(sources, dtype=jnp.float32)
-    rem = rows - src.shape[0]
-    if rem:
-        pad = jnp.concatenate(
-            [jnp.full((rem, 3), _SENTINEL, jnp.float32),
-             jnp.zeros((rem, 3), jnp.float32)], axis=1)
-        src = jnp.concatenate([src, pad], axis=0)
-    return src
-
-
 def dipole_interaction_matrix(pts, eps: float = 1e-6, targets=None,
                               bucket: int | None = None) -> jnp.ndarray:
     """I[i, j] = (dipole field of point j evaluated at point i) . n_i.
@@ -342,7 +331,7 @@ def dipole_interaction_matrix(pts, eps: float = 1e-6, targets=None,
         assert targets is None and bucket % BLOCK_T == 0 \
             and bucket % BLOCK_S == 0 and bucket >= np.shape(pts)[0]
         tgt = _prep_targets6(pts, BLOCK_T, rows=bucket)
-        src = _prep_sources_to(pts, bucket)
+        src = _prep_sources(pts, rows=bucket)
         return _dipole_matrix_padded(tgt, src, jnp.float32(eps))
     src = _prep_sources(pts)
     m = np.shape(pts)[0]
@@ -364,7 +353,7 @@ def xie_interaction_matrix(pts, C: float = 3.0, targets=None, knn_mask=None,
         assert targets is None and knn_mask is None and bucket % BLOCK_T == 0 \
             and bucket % BLOCK_S == 0 and bucket >= np.shape(pts)[0]
         tgt = _prep_targets6(pts, BLOCK_T, rows=bucket)
-        src = _prep_sources_to(pts, bucket)
+        src = _prep_sources(pts, rows=bucket)
         return _xie_matrix_padded(tgt, src, jnp.float32(C))
     src = _prep_sources(pts)
     if targets is None:

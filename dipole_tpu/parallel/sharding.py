@@ -406,11 +406,22 @@ def xie_in_order_sharded(pts, orders, mesh: Mesh, C: float = 3.0,
     pts_pad[n:, :3] = fields._SENTINEL                    # zero moment/normal
     orders = np.asarray(orders, dtype=np.int32)
     T = orders.shape[0]
-    opad = np.full((T, nb), n, np.int32)                  # dummy index: row n
+    # scan length: the single-device replay's bucket, NOT nb (which is
+    # block-aligned per device and can be far larger for small clouds —
+    # every extra step would be a wasted sequential psum over ICI)
+    from dipole_tpu.ops.propagate import _bucket
+
+    L = max(_bucket(n + 1), orders.shape[1])
+    opad = np.full((T, L), n, np.int32)                   # dummy index: row n
     opad[:, : orders.shape[1]] = orders
-    tile = (fields._xie_interaction_tile if kernel == "xie"
-            else fields._dipole_interaction_tile)
-    arg = jnp.float32(C if kernel == "xie" else eps)
+    if kernel == "xie":
+        tile, arg = fields._xie_interaction_tile, jnp.float32(C)
+    elif kernel == "dipole":
+        # match the single-device replay exactly: it builds the dipole
+        # matrix with eps=1e-6 regardless of the propagation eps
+        tile, arg = fields._dipole_interaction_tile, jnp.float32(1e-6)
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
     rg = jnp.arange(T)
 
     @partial(

@@ -192,7 +192,6 @@ def test_interaction_matrix_bucket_padding_is_exact_zero():
     """bucket= computes at the padded size with EXACTLY zero padded
     rows/columns (zero-normal targets, zero-moment sources) and the same
     real block as the sliced path."""
-    import jax.numpy as jnp
     from dipole_tpu.ops import fields
 
     rng = np.random.default_rng(11)
@@ -206,4 +205,3 @@ def test_interaction_matrix_bucket_padding_is_exact_zero():
         np.testing.assert_array_equal(Ib[200:, :], 0.0)
         np.testing.assert_array_equal(Ib[:, 200:], 0.0)
         np.testing.assert_allclose(Ib[:200, :200], I, rtol=1e-6, atol=1e-7)
-    del jnp

@@ -160,6 +160,14 @@ def test_xie_in_order_sharded_matches_single(mesh):
             assert multi.shape == single.shape
             agree = (multi == single).mean()
             assert agree == 1.0, (kernel, diffuse, agree)
+    # the propagation eps must NOT leak into the dipole matrix (the
+    # single-device replay pins its matrix eps at 1e-6 regardless)
+    single = propagate.xie_propagation_in_order(pc, orders, kernel="dipole",
+                                                eps=0.01)
+    multi = xie_in_order_sharded(pc, orders, mesh, kernel="dipole", eps=0.01)
+    assert (multi == single).mean() == 1.0
+    with pytest.raises(ValueError):
+        xie_in_order_sharded(pc, orders, mesh, kernel="typo")
 
 
 def test_bfs_tree_mesh_matches_single(mesh):
