@@ -495,7 +495,13 @@ def xie_propagation_in_order(pts, orders, eps: float = 1e-2,
     points_weight scales each *source* column of the interaction matrix.
     (The reference declares this parameter but a bug at field_utils.py:576-584
     multiplies by an all-ones vector instead; here the documented intent is
-    implemented.)"""
+    implemented.)
+
+    Memory: the unmasked/unweighted path builds its matrix directly at the
+    replay bucket (one live (nb, nb) array — 30k-class clouds fit one v5e
+    HBM; see fields.xie_interaction_matrix(bucket=...)). knn_mask>0 or
+    points_weight adds a dense same-size factor, so masked/weighted replay
+    is sized for <= ~20k clouds on one chip."""
     pts = np.asarray(pts, dtype=np.float32)
     n = len(pts)
     if kernel not in ("xie", "dipole"):
