@@ -454,15 +454,29 @@ def _build_knn_mask(pts: np.ndarray, k: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("diffuse",))
-def _in_order_scan(I: jnp.ndarray, orders: jnp.ndarray, diffuse: bool):
+def _in_order_scan(I: jnp.ndarray, orders: jnp.ndarray, diffuse: bool,
+                   knn_idx=None, colw=None):
     """T propagation orders replayed in lock-step (reference
-    field_utils.py:569-605). orders: (T, N) int32. Returns flip mask (T, N)."""
+    field_utils.py:569-605). orders: (T, N) int32. Returns flip mask (T, N).
+
+    knn_idx (N, k): optional kNN-mask in INDEX form (knn_idx[j] = source j's
+    nearest targets; rows past the real cloud filled with N, which matches
+    nothing). The mask factor mask[i, j] = [i in knn_idx[j]] is rebuilt
+    per step / per diffuse contribution instead of materializing the dense
+    (N, N) mask — keeping the replay at ONE live full-size array.
+    colw (N,): optional per-source column scale (points_weight), likewise
+    applied on the fly."""
     T, n = orders.shape
     rg = jnp.arange(T)
 
     def step(carry, idx):
         weights, inter_rec = carry                      # (T,N), (T,N)
         rows = I[idx]                                   # (T,N): I[idx_t, :]
+        if knn_idx is not None:
+            hit = jnp.any(knn_idx[None, :, :] == idx[:, None, None], axis=-1)
+            rows = rows * hit.astype(jnp.float32)
+        if colw is not None:
+            rows = rows * colw[None, :]
         inter = jnp.einsum("tn,tn->t", rows, weights, precision=_HI)
         w = jnp.where(inter < 0, -1.0, 1.0)
         weights = weights.at[rg, idx].set(w)
@@ -473,10 +487,26 @@ def _in_order_scan(I: jnp.ndarray, orders: jnp.ndarray, diffuse: bool):
     inter0 = jnp.zeros((T, n), jnp.float32)
     (weights, inter_rec), _ = jax.lax.scan(step, (weights0, inter0), orders.T)
     if diffuse:
-        # contract on I's source axis without materializing I.T (a second
-        # full-size copy at 30k-class buckets)
-        inter_rec = jax.lax.dot_general(
-            weights, I, (((1,), (1,)), ((), ())), precision=_HI)
+        wq = weights if colw is None else weights * colw[None, :]
+        if knn_idx is None:
+            # contract on I's source axis without materializing I.T (a
+            # second full-size copy at 30k-class buckets)
+            inter_rec = jax.lax.dot_general(
+                wq, I, (((1,), (1,)), ((), ())), precision=_HI)
+        else:
+            # masked diffuse via the mask's sparsity: only (j, i in knn(j))
+            # pairs contribute — an O(N k) gather + segment-sum, no dense
+            # mask. Sentinel rows (fill N) are clipped and zeroed.
+            k = knn_idx.shape[1]
+            jj = jnp.repeat(jnp.arange(n), k)            # source index
+            mm = knn_idx.reshape(-1)                     # target index
+            ok = (mm < n).astype(jnp.float32)
+            mmc = jnp.clip(mm, 0, n - 1)
+            Ic = I[mmc, jj] * ok                         # (N*k,)
+            contrib = wq[:, jj] * Ic[None, :]            # (T, N*k)
+            inter_rec = jax.vmap(
+                lambda c: jax.ops.segment_sum(c, mmc, num_segments=n)
+            )(contrib)
     return inter_rec < 0
 
 
@@ -497,43 +527,49 @@ def xie_propagation_in_order(pts, orders, eps: float = 1e-2,
     multiplies by an all-ones vector instead; here the documented intent is
     implemented.)
 
-    Memory: the unmasked/unweighted path builds its matrix directly at the
-    replay bucket (one live (nb, nb) array — 30k-class clouds fit one v5e
-    HBM; see fields.xie_interaction_matrix(bucket=...)). knn_mask>0 or
-    points_weight adds a dense same-size factor, so masked/weighted replay
-    is sized for <= ~20k clouds on one chip."""
+    Memory: the replay holds ONE live (nb, nb) array in every variant —
+    the matrix is built directly at the bucket with exact-zero padding
+    (fields.*_interaction_matrix(bucket=...)), the kNN mask is kept in
+    (N, k) index form and rebuilt per step, and points_weight is applied
+    on the fly — which is what fits 30k-class clouds in one v5e HBM."""
     pts = np.asarray(pts, dtype=np.float32)
     n = len(pts)
     if kernel not in ("xie", "dipole"):
         raise ValueError(f"unknown kernel {kernel!r}")
-    mask = _build_knn_mask(pts, knn_mask) if knn_mask > 0 else None
     # pad to a bucket: the dummy index n has an all-zero row/column, so the
     # padded replay steps neither decide nor contribute anything
     nb = _bucket(n + 1)
-    direct = (mask is None and points_weight is None
-              and nb % fields.BLOCK_T == 0 and nb % fields.BLOCK_S == 0)
-    if direct:
+    knn_idx_pad = colw = None
+    if knn_mask > 0:
+        from dipole_tpu.ops.neighbors import knn as _knn
+
+        kk = min(n, knn_mask)
+        idxs, _ = _knn(pts[:, :3], pts[:, :3], kk)       # (n, kk): j's nearest
+        knn_idx_pad = np.full((nb, kk), nb, np.int32)    # fill matches nothing
+        knn_idx_pad[:n] = np.asarray(idxs)
+        knn_idx_pad = jnp.asarray(knn_idx_pad)
+    if points_weight is not None:
+        cw = np.zeros(nb, np.float32)
+        cw[:n] = np.asarray(points_weight, np.float32)
+        colw = jnp.asarray(cw)
+    if nb % fields.BLOCK_T == 0 and nb % fields.BLOCK_S == 0:
         # compute at the bucket directly (exact-zero padding inside the
-        # kernel) — one live (nb, nb) array instead of three full-size
-        # copies, which is what fits 30k-class clouds in HBM
+        # kernel) — no sliced + re-padded copies
         if kernel == "xie":
             Ipad = fields.xie_interaction_matrix(pts, C=C, bucket=nb)
         else:
             Ipad = fields.dipole_interaction_matrix(pts, eps=1e-6, bucket=nb)
     else:
         if kernel == "xie":
-            I = fields.xie_interaction_matrix(pts, C=C, knn_mask=mask)
+            I = fields.xie_interaction_matrix(pts, C=C)
         else:
             I = fields.dipole_interaction_matrix(pts, eps=1e-6)
-            if mask is not None:
-                I = I * jnp.asarray(mask, jnp.float32)
-        if points_weight is not None:
-            I = I * jnp.asarray(points_weight, jnp.float32)[None, :]
         Ipad = jnp.zeros((nb, nb), jnp.float32).at[:n, :n].set(I)
     orders = np.asarray(orders, dtype=np.int32)
     opad = np.full((orders.shape[0], nb), n, np.int32)
     opad[:, : orders.shape[1]] = orders
-    flips = _in_order_scan(Ipad, jnp.asarray(opad), bool(diffuse))
+    flips = _in_order_scan(Ipad, jnp.asarray(opad), bool(diffuse),
+                           knn_idx=knn_idx_pad, colw=colw)
     return np.asarray(flips)[:, :n]
 
 

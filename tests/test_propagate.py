@@ -111,20 +111,42 @@ def test_dipole_in_order_replay():
     assert sign_agreement(out, gt) >= 0.95
 
 
-def test_in_order_direct_bucket_matches_fallback():
-    """At n >= BLOCK sizes the replay builds its matrix directly at the
-    bucket (memory path); points_weight=ones forces the sliced+padded
-    fallback with identical math — flips must agree exactly."""
-    from dipole_tpu.ops import propagate
+def test_in_order_direct_bucket_matches_dense_reference():
+    """The bucket-direct replay (one live array; on-the-fly mask/weights)
+    must reproduce the dense formulation: matrix x dense knn mask x column
+    weights fed to the plain scan."""
+    import jax.numpy as jnp
 
+    from dipole_tpu.ops import fields, propagate
+
+    n = 1100
     rng = np.random.default_rng(21)
-    pc = rng.normal(size=(1100, 6)).astype(np.float32)
+    pc = rng.normal(size=(n, 6)).astype(np.float32)
     pc[:, 3:] /= np.linalg.norm(pc[:, 3:], axis=1, keepdims=True)
-    orders = np.stack([rng.permutation(1100) for _ in range(3)])
+    orders = np.stack([rng.permutation(n) for _ in range(3)])
+    w = rng.uniform(0.2, 1.0, n).astype(np.float32)
+    nb = propagate._bucket(n + 1)
+    opad = np.full((3, nb), n, np.int32)
+    opad[:, :n] = orders
+
     for kernel in ("xie", "dipole"):
-        direct = propagate.xie_propagation_in_order(
-            pc, orders, diffuse=True, kernel=kernel)
-        fallback = propagate.xie_propagation_in_order(
-            pc, orders, diffuse=True, kernel=kernel,
-            points_weight=np.ones(1100, np.float32))
-        np.testing.assert_array_equal(direct, fallback)
+        for use_mask in (False, True):
+            for use_w in (False, True):
+                for diffuse in (False, True):
+                    I = (fields.xie_interaction_matrix(pc, C=3.0)
+                         if kernel == "xie"
+                         else fields.dipole_interaction_matrix(pc, eps=1e-6))
+                    if use_mask:
+                        I = I * propagate._build_knn_mask(pc, 8)
+                    if use_w:
+                        I = I * jnp.asarray(w)[None, :]
+                    Ipad = jnp.zeros((nb, nb), jnp.float32).at[:n, :n].set(I)
+                    want = np.asarray(propagate._in_order_scan(
+                        Ipad, jnp.asarray(opad), diffuse))[:, :n]
+                    got = propagate.xie_propagation_in_order(
+                        pc, orders, diffuse=diffuse, kernel=kernel,
+                        knn_mask=8 if use_mask else -1,
+                        points_weight=w if use_w else None)
+                    agree = (got == want).mean()
+                    assert agree == 1.0, (kernel, use_mask, use_w, diffuse,
+                                          agree)
