@@ -32,7 +32,7 @@ def _demo_cloud():
         return _cloud(100000, 0)
 
 
-def bench_tpu(iters=5):
+def bench_tpu(iters=12):
     from dipole_tpu.ops import fields
 
     pc = _demo_cloud()
@@ -77,7 +77,18 @@ def bench_torch_cpu(n_src=3000, n_tgt=3000):
 
 
 def main():
-    value = bench_tpu()
+    # the remote backend occasionally throws a transient error
+    # (FailedPrecondition observed); retry before giving up
+    last = None
+    for attempt in range(3):
+        try:
+            value = bench_tpu()
+            break
+        except Exception as e:  # noqa: BLE001 - deliberate retry guard
+            last = e
+            time.sleep(30 * (attempt + 1))
+    else:
+        raise last
     try:
         baseline = bench_torch_cpu()
         vs = value / baseline
