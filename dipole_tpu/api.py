@@ -30,6 +30,34 @@ __all__ = ["orient", "orient_simple", "orient_patches", "orient_large",
 MAX_PATCH_SIZE = 500  # representatives per patch (reference orient_large.py:14)
 
 
+def resolve_mesh(mesh):
+    """Accept a Mesh, a device count (int), 'auto' (all devices), or None.
+
+    The CLIs/server pass the --mesh flag / DIPOLE_TPU_MESH env value here;
+    programmatic callers can hand a prebuilt jax.sharding.Mesh directly.
+    None and a count of <=1 mean single-device (mesh code paths bypassed)."""
+    if mesh is None:
+        return None
+    from jax.sharding import Mesh
+
+    if isinstance(mesh, Mesh):
+        return mesh if mesh.devices.size > 1 else None
+    from dipole_tpu.parallel.sharding import make_mesh
+
+    if isinstance(mesh, str):
+        if mesh.strip().lower() in ("", "0", "none", "off"):
+            return None
+        if mesh.strip().lower() == "auto":
+            m = make_mesh()
+            return m if m.devices.size > 1 else None
+        mesh = int(mesh)
+    if isinstance(mesh, (int, np.integer)):
+        if mesh <= 1:
+            return None
+        return make_mesh(int(mesh))
+    raise ValueError(f"cannot resolve mesh from {mesh!r}")
+
+
 def _as_models(models):
     """Accept checkpoint paths or already-loaded PointCNNParams."""
     from dipole_tpu.models.pointcnn import PointCNNParams
@@ -38,18 +66,28 @@ def _as_models(models):
             for m in (models or [])]
 
 
-def _sign_fix(pc: np.ndarray, timer) -> np.ndarray:
+def _sign_fix(pc: np.ndarray, timer, mesh=None) -> np.ndarray:
     with timer("global sign fix"):
-        if fields.measure_mean_potential(pc) < 0:
+        if mesh is not None:
+            from dipole_tpu.parallel.sharding import potential_sharded
+            from dipole_tpu.utils.io import gen_grid
+
+            mean = float(potential_sharded(pc, gen_grid(10), mesh).mean())
+        else:
+            mean = fields.measure_mean_potential(pc)
+        if mean < 0:
             pc[:, 3:6] *= -1
     return pc
 
 
 def orient_simple(points, diffuse: bool = False, estimate: bool = False,
-                  n: int = 30, timer=None) -> np.ndarray:
+                  n: int = 30, timer=None, mesh=None) -> np.ndarray:
     """Per-point strongest-field propagation (reference orient_simple.py:8-34):
-    (estimate) -> normalize -> propagate -> lattice sign fix -> denormalize."""
+    (estimate) -> normalize -> propagate -> lattice sign fix -> denormalize.
+    mesh: optional Mesh / device count / 'auto' — the greedy accumulator and
+    the sign-fix lattice shard over the devices (parallel.sharding)."""
     stage_timer = timer or timer_factory()
+    mesh = resolve_mesh(mesh)
     input_pc = np.asarray(points, dtype=np.float32)
 
     if estimate or input_pc.shape[1] == 3:
@@ -57,6 +95,14 @@ def orient_simple(points, diffuse: bool = False, estimate: bool = False,
             input_pc = estimate_normals(input_pc, max_nn=n)
 
     input_pc, transform = Transform.trans(input_pc)
+
+    if mesh is not None:
+        from dipole_tpu.parallel.sharding import orient_points_multichip
+
+        with stage_timer("dipole propagation (multichip)"):
+            input_pc = orient_points_multichip(input_pc, mesh, diffuse=diffuse,
+                                               starting_point=0)
+        return transform.inverse(input_pc)
 
     with stage_timer("dipole propagation"):
         input_pc = propagate.strongest_field_propagation_points(
@@ -72,14 +118,17 @@ def orient_patches(points, models=(), iters: int = 100,
                    minimum_points_per_patch: int = 21,
                    curvature_threshold: float = 0.0, diffuse: bool = False,
                    weighted_prop: bool = False, estimate: bool = False,
-                   n: int = 30, timer=None) -> np.ndarray:
+                   n: int = 30, timer=None, mesh=None) -> np.ndarray:
     """Patch pipeline with PointCNN ensemble correction (reference
     orient_pointcloud.py:11-83): voxel patches -> curvature filter ->
     orient_center -> iterate {ensemble votes, periodic patch propagation} ->
-    final propagation -> lattice sign fix."""
+    final propagation -> lattice sign fix. mesh: optional Mesh / device
+    count / 'auto' — the ensemble forward batch and the patch-interaction
+    pair work shard over the devices (results unchanged)."""
     import jax
 
     stage_timer = timer or timer_factory()
+    mesh = resolve_mesh(mesh)
     pc = np.asarray(points, dtype=np.float32)
     if estimate or pc.shape[1] == 3:
         with stage_timer("estimate unoriented normals"):
@@ -107,7 +156,7 @@ def orient_patches(points, models=(), iters: int = 100,
     def propagate_now():
         return propagate.strongest_field_propagation_patches(
             input_pc, patch_indices, all_patches, diffuse=diffuse,
-            weights=pc_probs if weighted_prop else None,
+            weights=pc_probs if weighted_prop else None, mesh=mesh,
         )
 
     for it in range(iters):
@@ -118,7 +167,8 @@ def orient_patches(points, models=(), iters: int = 100,
                 # reference's sequential per-patch loop)
                 key, sub = jax.random.split(key)
                 votes = ensemble_vote_patches(
-                    models, [input_pc[pidx] for _, pidx in patch_indices], key=sub
+                    models, [input_pc[pidx] for _, pidx in patch_indices],
+                    key=sub, mesh=mesh,
                 )
                 for (_, pidx), (flip, probs) in zip(patch_indices, votes):
                     probs = probs.copy()
@@ -133,21 +183,24 @@ def orient_patches(points, models=(), iters: int = 100,
     with stage_timer("patch propagation"):
         input_pc = propagate_now()
 
-    input_pc = _sign_fix(input_pc, stage_timer)
+    input_pc = _sign_fix(input_pc, stage_timer, mesh=mesh)
     return transform.inverse(input_pc)
 
 
 def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
                  minimum_points_per_patch: int = 21,
                  curvature_threshold: float = 0.0, estimate: bool = False,
-                 n: int = 30, seed: int = 1, timer=None) -> np.ndarray:
+                 n: int = 30, seed: int = 1, timer=None, mesh=None) -> np.ndarray:
     """Large clouds via <=500 representative points per patch (reference
     orient_large.py:10-90). NOTE pipeline-order parity: normals are estimated
     AFTER normalization here (the reference does the same only in this
-    pipeline, orient_large.py:17-24)."""
+    pipeline, orient_large.py:17-24). mesh: optional Mesh / device count /
+    'auto' — ensemble forwards, the rep-interaction matrix and the rest-point
+    field pass shard over the devices (results unchanged)."""
     import jax
 
     stage_timer = timer or timer_factory()
+    mesh = resolve_mesh(mesh)
     input_pc = np.asarray(points, dtype=np.float32)
     input_pc, transform = Transform.trans(input_pc)
 
@@ -187,7 +240,7 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
         for _ in range(iters if rep_sets else 0):
             key, sub = jax.random.split(key)
             votes = ensemble_vote_patches(
-                models, [input_pc[r] for r in rep_sets], key=sub
+                models, [input_pc[r] for r in rep_sets], key=sub, mesh=mesh
             )
             for reps, (flip, probs) in zip(rep_sets, votes):
                 pc_probs[reps] = probs
@@ -195,10 +248,10 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
 
     with stage_timer("dipole propagation"):
         input_pc = propagate.strongest_field_propagation_reps(
-            input_pc, represent, diffuse=True
+            input_pc, represent, diffuse=True, mesh=mesh
         )
 
-    input_pc = _sign_fix(input_pc, stage_timer)
+    input_pc = _sign_fix(input_pc, stage_timer, mesh=mesh)
     return transform.inverse(input_pc)
 
 
@@ -220,7 +273,9 @@ def orient(points, method: str = "auto", models=(), **kwargs) -> np.ndarray:
     | 'xie' | 'tree_xie' | 'hoppe'. 'auto' picks 'simple' for small clouds
     without models, 'patches' for small clouds with models, 'large' above
     50k points. xie/tree_xie/hoppe accept the server protocol's config keys
-    (serve/handlers.py) as kwargs."""
+    (serve/handlers.py) as kwargs; per server-protocol semantics these three
+    take xyz only — caller-supplied normal columns are ignored and normals
+    are re-estimated."""
     points = np.asarray(points)
     if method == "auto":
         if len(points) > 50_000:

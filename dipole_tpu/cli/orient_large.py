@@ -33,6 +33,7 @@ def run(opts):
         minimum_points_per_patch=opts.minimum_points_per_patch,
         curvature_threshold=opts.curvature_threshold,
         estimate=opts.estimate_normals, n=opts.n, timer=stage_timer,
+        mesh=getattr(opts, "mesh", None),
     )
 
     with stage_timer("export oriented cloud", count=False):

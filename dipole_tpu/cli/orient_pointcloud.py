@@ -30,6 +30,7 @@ def run(opts):
         curvature_threshold=opts.curvature_threshold,
         diffuse=opts.diffuse, weighted_prop=opts.weighted_prop,
         estimate=opts.estimate_normals, n=opts.n, timer=stage_timer,
+        mesh=getattr(opts, "mesh", None),
     )
 
     stage_timer.print_total_time()

@@ -27,7 +27,8 @@ def run(opts):
     # reference orient_simple.py:19 pins max_nn=30 (not opts.n)
     oriented = api.orient_simple(input_pc, diffuse=opts.diffuse,
                                  estimate=opts.estimate_normals, n=30,
-                                 timer=stage_timer)
+                                 timer=stage_timer,
+                                 mesh=getattr(opts, "mesh", None))
 
     with stage_timer("export oriented cloud", count=False):
         export_pc(oriented, export_path / "final_result.xyz")

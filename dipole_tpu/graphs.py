@@ -345,23 +345,26 @@ def orient_normals_hoppe(pc: np.ndarray, k: int = 10) -> np.ndarray:
             w = 1.0 - abs(float(np.dot(nrm[i], nrm[j])))
             edges.append((key[0], key[1], w))
     tree = minimum_spanning_tree(n, edges)
-    root = int(np.argmax(xyz[:, 2]))
-    if nrm[root][2] < 0:
-        nrm[root] = -nrm[root]
+    # Every connected component is seeded from its own max-z vertex with the
+    # normal forced to +z, then oriented by depth-first propagation — matching
+    # Open3D's orient_normals_consistent_tangent_plane, which orients all
+    # components (reference socket_server.py:40-60).
     visited = np.zeros(n, dtype=bool)
-    stack = [root]
-    visited[root] = True
-    order = np.arange(n)
-    while stack:
-        u = stack.pop()
-        for v in tree[u]:
-            if not visited[v]:
-                visited[v] = True
-                if np.dot(nrm[u], nrm[v]) < 0:
-                    nrm[v] = -nrm[v]
-                stack.append(v)
-    for r in np.flatnonzero(~visited):
-        # disconnected components: orient their own max-z point upward
-        visited[r] = True
+    z = xyz[:, 2]
+    while not visited.all():
+        rest = np.flatnonzero(~visited)
+        root = int(rest[np.argmax(z[rest])])
+        if nrm[root][2] < 0:
+            nrm[root] = -nrm[root]
+        visited[root] = True
+        stack = [root]
+        while stack:
+            u = stack.pop()
+            for v in tree[u]:
+                if not visited[v]:
+                    visited[v] = True
+                    if np.dot(nrm[u], nrm[v]) < 0:
+                        nrm[v] = -nrm[v]
+                    stack.append(v)
     pc[:, 3:6] = nrm.astype(np.float32)
     return pc

@@ -29,26 +29,36 @@ def voting_policy(probs_list):
     return probs < 0.5, probs
 
 
+def _model_key(key, model, index: int):
+    """Per-model PRNG key folded over a content digest of the checkpoint
+    (not the model-list index), so --models ordering cannot move results.
+    Falls back to the index for model objects without a digest."""
+    import jax
+
+    digest = getattr(model, "content_digest", None)
+    return jax.random.fold_in(key, digest if digest is not None else index)
+
+
 def ensemble_vote(models, patch, key=None):
     """Run every model on a patch and vote. Returns (flip_mask, probs)."""
     import jax
 
     if key is None:
         key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, len(models))
     votes = []
-    for m, k in zip(models, keys):
-        logits = m.logits(patch, key=k)
+    for mi, m in enumerate(models):
+        logits = m.logits(patch, key=_model_key(key, m, mi))
         votes.append(_softmax(logits)[:, 1])
     return voting_policy(votes)
 
 
-def ensemble_vote_patches(models, patches, key=None):
+def ensemble_vote_patches(models, patches, key=None, mesh=None):
     """Ensemble-vote many ragged patches at once: patches are grouped into
     shared padded buckets and each model runs one vmapped forward per group
     (instead of len(models) * len(patches) sequential dispatches). Exact
     per-patch semantics are unchanged — each forward only ever reads its own
-    patch. Returns a list of (flip_mask, probs) aligned with `patches`."""
+    patch. Returns a list of (flip_mask, probs) aligned with `patches`.
+    mesh: optional Mesh — the patch batch is sharded over its devices."""
     import jax
 
     from dipole_tpu.models.pointcnn import _bucket, pointcnn_logits_batched
@@ -64,12 +74,12 @@ def ensemble_vote_patches(models, patches, key=None):
 
     probs_per_model = [[None] * len(patches) for _ in models]
     for mi, model in enumerate(models):
-        mkey = jax.random.fold_in(key, mi)
+        mkey = _model_key(key, model, mi)
         for b, idxs in groups.items():
             gkey = jax.random.fold_in(mkey, b)
             outs = pointcnn_logits_batched(
                 model.params, model.pool, [patches[i] for i in idxs], key=gkey,
-                bucket=b,
+                bucket=b, mesh=mesh,
             )
             for i, logits in zip(idxs, outs):
                 probs_per_model[mi][i] = _softmax(logits)[:, 1]

@@ -255,6 +255,23 @@ class PointCNNParams:
     def __init__(self, params: dict, pool: float):
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.pool = float(pool)
+        self._digest = None
+
+    @property
+    def content_digest(self) -> int:
+        """Stable 31-bit digest of the weights. Ensemble voting folds this
+        (not the model-list index) into per-model PRNG keys, so results are
+        invariant to --models ordering."""
+        if self._digest is None:
+            import hashlib
+
+            h = hashlib.sha256()
+            for k in sorted(self.params):
+                h.update(k.encode())
+                h.update(np.asarray(self.params[k], np.float32).tobytes())
+            h.update(np.float32(self.pool).tobytes())
+            self._digest = int.from_bytes(h.digest()[:4], "little") & 0x7FFFFFFF
+        return self._digest
 
     @staticmethod
     def from_files(pt_path, txt_path=None):
@@ -305,12 +322,48 @@ def _forward_width(bucket: int, pool: float = 0.6) -> int:
     return max(8, min(MAX_FORWARD_BATCH, elems // bucket))
 
 
+_SHARDED_FORWARD_CACHE: dict = {}
+
+
+def _forward_batched_sharded(mesh, m1: int, m2: int):
+    """shard_map'd batched forward: the vmap (patch) axis is sharded over the
+    mesh — patches are independent, so each chip runs its local slice of the
+    batch with zero collectives. Per-patch math is identical to the
+    single-device _forward (the ensemble stage of orient_pointcloud /
+    orient_large, the lion demo's dominant warm stage, scales D-ways)."""
+    from jax.sharding import PartitionSpec as P
+
+    cache_key = (id(mesh), m1, m2)
+    fn = _SHARDED_FORWARD_CACHE.get(cache_key)
+    if fn is not None:
+        return fn
+    axis = mesh.axis_names[0]
+
+    @partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+    )
+    def run(p, pc, valid, keys, pool):
+        return jax.vmap(
+            lambda c, v, k: _forward(p, c, v, k, pool, m1, m2)
+        )(pc, valid, keys)
+
+    fn = jax.jit(run)
+    _SHARDED_FORWARD_CACHE[cache_key] = fn
+    return fn
+
+
 def pointcnn_logits_batched(params, pool: float, patches, key=None,
-                            bucket=None) -> list:
+                            bucket=None, mesh=None) -> list:
     """Run the forward over many ragged patches with few compiled programs:
     patches are padded to a shared power-of-two bucket and vmapped in chunks
     of at most MAX_FORWARD_BATCH (each chunk width a power of two, so chunks
-    reuse the same compiled program). Returns a list of (n_i, 2) arrays."""
+    reuse the same compiled program). Returns a list of (n_i, 2) arrays.
+
+    mesh: optional jax.sharding.Mesh — the batch axis is sharded over its
+    first axis (chunk width scales by the device count; per-patch results
+    are unchanged, patches being independent)."""
     patches = [np.asarray(p, np.float32) for p in patches]
     if not patches:
         return []
@@ -321,11 +374,14 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
     m2 = int(-(-m1 * pool // 1))
     keys = jax.random.split(key, len(patches))
 
-    width = _forward_width(nb, pool)
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    width = _forward_width(nb, pool) * n_dev
     results: list = [None] * len(patches)
     for lo in range(0, len(patches), width):
         chunk = patches[lo:lo + width]
         Bp = _bucket(len(chunk), base=8)
+        if n_dev > 1:
+            Bp = -(-Bp // n_dev) * n_dev  # whole rows per device
         pc = np.zeros((Bp, nb, 6), np.float32)
         valid = np.zeros((Bp, nb), bool)
         for i, p in enumerate(chunk):
@@ -334,10 +390,17 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
         ck = jnp.concatenate(
             [keys[lo:lo + len(chunk)],
              jnp.tile(keys[lo:lo + 1], (Bp - len(chunk), 1))], axis=0)
-        out = np.asarray(
-            _forward_batched(params, jnp.asarray(pc), jnp.asarray(valid), ck,
-                             jnp.float32(pool), m1, m2)
-        )
+        if mesh is not None:
+            fwd = _forward_batched_sharded(mesh, m1, m2)
+            out = np.asarray(
+                fwd(params, jnp.asarray(pc), jnp.asarray(valid), ck,
+                    jnp.float32(pool))
+            )
+        else:
+            out = np.asarray(
+                _forward_batched(params, jnp.asarray(pc), jnp.asarray(valid), ck,
+                                 jnp.float32(pool), m1, m2)
+            )
         for i, p in enumerate(chunk):
             results[lo + i] = out[i, : len(p)]
     return results

@@ -328,8 +328,12 @@ def dipole_interaction_matrix(pts, eps: float = 1e-6, targets=None,
     three (matters at 30k+: each copy is N^2 * 4 bytes). Requires
     targets=None and bucket a multiple of BLOCK_T/BLOCK_S >= len(pts)."""
     if bucket is not None:
-        assert targets is None and bucket % BLOCK_T == 0 \
-            and bucket % BLOCK_S == 0 and bucket >= np.shape(pts)[0]
+        if targets is not None or bucket % BLOCK_T != 0 \
+                or bucket % BLOCK_S != 0 or bucket < np.shape(pts)[0]:
+            raise ValueError(
+                "bucket= requires targets=None and bucket a multiple of "
+                f"{BLOCK_T}/{BLOCK_S} covering len(pts); got bucket={bucket}, "
+                f"n={np.shape(pts)[0]}")
         tgt = _prep_targets6(pts, BLOCK_T, rows=bucket)
         src = _prep_sources(pts, rows=bucket)
         return _dipole_matrix_padded(tgt, src, jnp.float32(eps))
@@ -350,8 +354,13 @@ def xie_interaction_matrix(pts, C: float = 3.0, targets=None, knn_mask=None,
     (reference field_utils.py:449-458). bucket: as in
     dipole_interaction_matrix (exact-zero padded, no post-slice)."""
     if bucket is not None:
-        assert targets is None and knn_mask is None and bucket % BLOCK_T == 0 \
-            and bucket % BLOCK_S == 0 and bucket >= np.shape(pts)[0]
+        if targets is not None or knn_mask is not None \
+                or bucket % BLOCK_T != 0 or bucket % BLOCK_S != 0 \
+                or bucket < np.shape(pts)[0]:
+            raise ValueError(
+                "bucket= requires targets=None, knn_mask=None and bucket a "
+                f"multiple of {BLOCK_T}/{BLOCK_S} covering len(pts); got "
+                f"bucket={bucket}, n={np.shape(pts)[0]}")
         tgt = _prep_targets6(pts, BLOCK_T, rows=bucket)
         src = _prep_sources(pts, rows=bucket)
         return _xie_matrix_padded(tgt, src, jnp.float32(C))

@@ -229,16 +229,29 @@ def _flattest_patch(pts: np.ndarray, patch_list) -> int:
     return int(np.argmin(e0))
 
 
+def _group_interaction(work, seg, P, mesh=None):
+    """F[i, q] via the single-device kernel, or target-sharded over a mesh
+    (parallel.sharding.point_group_interaction_sharded — same source-block
+    scan order, so identical values)."""
+    if mesh is not None:
+        from dipole_tpu.parallel.sharding import point_group_interaction_sharded
+
+        return jnp.asarray(
+            point_group_interaction_sharded(work, seg, P, mesh, eps=1e-5))
+    return fields.point_group_interaction(work, seg, P, eps=1e-5)
+
+
 def strongest_field_propagation_patches(pts, filtered_patches, all_patches,
                                         diffuse: bool = False,
-                                        weights=None) -> np.ndarray:
+                                        weights=None, mesh=None) -> np.ndarray:
     """Patch-level greedy propagation (reference field_utils.py:286-348).
 
     pts: (N,6). all_patches: list of index arrays (covers every point).
     filtered_patches: list of (patch_id, index array) — the patches whose
     points get the diffuse per-point re-vote. weights: optional per-point
     confidence in [0,1], clamped to [0.1,1], scales normals during
-    propagation (weighted_prop)."""
+    propagation (weighted_prop). mesh: optional Mesh — the O(N^2) pair work
+    behind F splits over its devices (identical results)."""
     pts = np.asarray(pts, dtype=np.float32)
     n = pts.shape[0]
     P = len(all_patches)
@@ -260,7 +273,7 @@ def strongest_field_propagation_patches(pts, filtered_patches, all_patches,
     # sides, like the reference's in-place scaling). F is O(N*P) — it stays
     # on device; only the tiny patch-patch W and the per-point accumulator
     # come back to the host.
-    F = fields.point_group_interaction(work, seg, P, eps=1e-5)
+    F = _group_interaction(work, seg, P, mesh)
     seg_dev = jnp.asarray(seg)
     W = np.asarray(jax.ops.segment_sum(F, seg_dev, num_segments=P))  # (P,P)
 
@@ -289,11 +302,13 @@ def strongest_field_propagation_patches(pts, filtered_patches, all_patches,
 
 
 def strongest_field_propagation_reps(pts, reps, diffuse: bool = False,
-                                     weights=None) -> np.ndarray:
+                                     weights=None, mesh=None) -> np.ndarray:
     """Representative-point propagation for large clouds (reference
     field_utils.py:207-282): the greedy loop runs on <=max_patch_size
     representatives per patch; rest points inherit their patch flip, then are
-    individually oriented by the field of all oriented reps."""
+    individually oriented by the field of all oriented reps. mesh: optional
+    Mesh — both the rep-interaction matrix F and the final rest-point field
+    pass shard their target rows over the devices."""
     pts = np.asarray(pts, dtype=np.float32)
     n = pts.shape[0]
     P = len(reps)
@@ -313,7 +328,7 @@ def strongest_field_propagation_reps(pts, reps, diffuse: bool = False,
     )
     rep_pts = work[rep_concat]
 
-    F = fields.point_group_interaction(rep_pts, rep_seg, P, eps=1e-5)
+    F = _group_interaction(rep_pts, rep_seg, P, mesh)
     rep_seg_dev = jnp.asarray(rep_seg)
     W = np.asarray(jax.ops.segment_sum(F, rep_seg_dev, num_segments=P))
 
@@ -349,7 +364,13 @@ def strongest_field_propagation_reps(pts, reps, diffuse: bool = False,
     if rest_concat.size:
         srcs = work[rep_concat].copy()
         srcs[:, 3:6] *= total[rep_concat][:, None]
-        E = np.asarray(fields.field_grad(srcs, work[rest_concat, :3]))
+        if mesh is not None:
+            from dipole_tpu.parallel.sharding import field_grad_sharded
+
+            E = field_grad_sharded(srcs, work[rest_concat, :3], mesh,
+                                   shard="targets")
+        else:
+            E = np.asarray(fields.field_grad(srcs, work[rest_concat, :3]))
         cur_n = work[rest_concat, 3:6] * total[rest_concat][:, None]
         inter = (E * cur_n).sum(-1)
         vote = np.where(inter > 0, 1.0, -1.0).astype(np.float32)

@@ -36,7 +36,7 @@ from dipole_tpu.ops import fields
 __all__ = ["make_mesh", "field_grad_sharded", "potential_sharded",
            "interaction_accumulate_sharded", "pad_cloud_for_ring",
            "greedy_sign_sequence_sharded", "orient_points_multichip",
-           "xie_in_order_sharded"]
+           "xie_in_order_sharded", "point_group_interaction_sharded"]
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -239,6 +239,43 @@ def interaction_accumulate_sharded(pts, signs, mesh: Mesh, eps: float = 1e-5,
     return (E * pts[:, 3:6]).sum(-1)
 
 
+def point_group_interaction_sharded(pts, group_ids, num_groups: int,
+                                    mesh: Mesh, eps: float = 1e-5,
+                                    source_weights=None) -> np.ndarray:
+    """F[i, g] = sum over sources j in group g of I[i, j], with the TARGET
+    rows sharded over the mesh — the multi-chip core of patch propagation
+    (C8/C9): each chip streams the full source set against its own target
+    shard, so the O(N * N) pair work splits D ways with zero collectives.
+
+    The per-target source-block scan order is identical to the single-device
+    fields.point_group_interaction, so results match it exactly (same
+    summation order; only the rows live on different chips)."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    pts = jnp.asarray(pts, jnp.float32)
+    if source_weights is not None:
+        w = jnp.asarray(source_weights, jnp.float32)
+        pts = pts.at[:, 3:6].multiply(w[:, None])
+    n = pts.shape[0]
+    src = np.asarray(fields._prep_sources(pts))
+    padded_groups = -(-num_groups // 128) * 128
+    onehot = jax.nn.one_hot(jnp.asarray(group_ids), padded_groups,
+                            dtype=jnp.float32)
+    onehot = np.asarray(fields._pad_rows(onehot, fields.BLOCK_S, 0.0))
+    tgt = _pad_to(np.asarray(pts), n_dev * fields.BLOCK_T, fields._SENTINEL)
+
+    @partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(axis, None), P(), P(), P()),
+        out_specs=P(axis, None),
+    )
+    def run(tgt_shard, src_rep, oh_rep, eps_):
+        return fields._group_interaction_padded(tgt_shard, src_rep, oh_rep, eps_)
+
+    F = run(tgt, src, onehot, jnp.float32(eps))
+    return np.asarray(F)[:n, :num_groups]
+
+
 def greedy_sign_sequence_sharded(pts, mesh: Mesh, starting_point: int = 0,
                                  eps: float = 1e-6):
     """Distributed strongest-field greedy propagation: the interaction
@@ -390,9 +427,13 @@ def xie_in_order_sharded(pts, orders, mesh: Mesh, C: float = 3.0,
     a (T,)-sized partial interaction with one psum over ICI; weight updates
     land on the owning column shard only.
 
-    Returns the (T, N) bool flip mask, identical in semantics to
-    ops/propagate.xie_propagation_in_order (same math; the per-step sum is
-    associated per-shard then psum-reduced).
+    Returns the (T, N) bool flip mask, matching
+    ops/propagate.xie_propagation_in_order. Caveat: the per-step sum is
+    associated per-shard then psum-reduced — a different float summation
+    order than the single-device full-row einsum, so a near-zero interaction
+    can flip a sign decision and cascade. Agreement is exact on the 8-way
+    CPU test mesh but is not bit-guaranteed across device counts/hardware;
+    treat cross-path comparisons as agreement-rate, not equality.
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size

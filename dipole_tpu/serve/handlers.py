@@ -14,7 +14,22 @@ from dipole_tpu.ops import fields, propagate
 from dipole_tpu.ops.estimate import estimate_normals
 from dipole_tpu.utils.io import Transform
 
-__all__ = ["HANDLERS", "dispatch"]
+__all__ = ["HANDLERS", "dispatch", "set_mesh", "get_mesh"]
+
+# Server-wide mesh (None = single device). Configured once at server start
+# via --mesh / DIPOLE_TPU_MESH; every request's device work shards over it.
+_MESH = None
+
+
+def set_mesh(mesh) -> None:
+    from dipole_tpu.api import resolve_mesh
+
+    global _MESH
+    _MESH = resolve_mesh(mesh)
+
+
+def get_mesh():
+    return _MESH
 
 
 def _prep(xyz_data: np.ndarray, max_nn: int):
@@ -24,13 +39,28 @@ def _prep(xyz_data: np.ndarray, max_nn: int):
 
 
 def _finish(pc: np.ndarray, transform: Transform) -> np.ndarray:
-    if fields.measure_mean_potential(pc) < 0:
+    if _MESH is not None:
+        from dipole_tpu.parallel.sharding import potential_sharded
+        from dipole_tpu.utils.io import gen_grid
+
+        mean = float(potential_sharded(pc, gen_grid(10), _MESH).mean())
+    else:
+        mean = fields.measure_mean_potential(pc)
+    if mean < 0:
         pc[:, 3:6] *= -1
     return transform.inverse(pc).astype(np.float64)
 
 
 def simple_estimate(xyz_data, config):
     pc, transform = _prep(xyz_data, max_nn=30)
+    if _MESH is not None:
+        from dipole_tpu.parallel.sharding import orient_points_multichip
+
+        # propagation + sign fix in one sharded pass (identical decisions)
+        pc = orient_points_multichip(pc, _MESH,
+                                     diffuse=config.get("diffuse", True),
+                                     starting_point=0)
+        return transform.inverse(pc).astype(np.float64)
     pc = propagate.strongest_field_propagation_points(
         pc, diffuse=config.get("diffuse", True), starting_point=0
     )
@@ -51,6 +81,7 @@ def tree_xie_propagation(xyz_data, config):
         pc, eps=config["eps"], diffuse=config["diffuse"],
         times=config["times"], starting_point=0,
         knn_mask=config.get("knn_mask", -1), C=config.get("C", 3),
+        mesh=_MESH,
     )
     return _finish(pc, transform)
 

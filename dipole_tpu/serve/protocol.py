@@ -68,7 +68,8 @@ def recv_exact_header(conn: socket.socket) -> bytes:
             if not chunk:
                 break
             buf += chunk
-            if not buf.lstrip()[:1] == b"{":
+            head = buf.lstrip()[:1]
+            if head and head != b"{":
                 break  # not this protocol; let the caller reply ERROR
             try:
                 json.loads(buf)

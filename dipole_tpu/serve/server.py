@@ -9,6 +9,7 @@ socket_server.py:29-36) before serving when --self_test is given.
 from __future__ import annotations
 
 import argparse
+import os
 import socket
 
 import numpy as np
@@ -53,7 +54,14 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=PORT)
     parser.add_argument("--host", type=str, default=HOST)
     parser.add_argument("--self_test", action="store_true")
+    parser.add_argument("--mesh", type=str,
+                        default=os.environ.get("DIPOLE_TPU_MESH"),
+                        help="multi-chip: device count or 'auto'")
     args = parser.parse_args(argv)
+    if args.mesh:
+        from dipole_tpu.serve import handlers as _handlers
+
+        _handlers.set_mesh(args.mesh)
     if args.self_test:
         test_api()
     serve(args.host, args.port)

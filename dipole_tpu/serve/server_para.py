@@ -9,6 +9,7 @@ scale-out remains one server process per device."""
 from __future__ import annotations
 
 import argparse
+import os
 import socket
 import threading
 import time
@@ -170,11 +171,19 @@ def main(argv=None):
     parser.add_argument("--warmup", type=str, default="",
                         help="comma-separated point counts to precompile for, "
                              "e.g. 2000,10000")
+    parser.add_argument("--mesh", type=str,
+                        default=os.environ.get("DIPOLE_TPU_MESH"),
+                        help="multi-chip: device count or 'auto' "
+                             "(default: DIPOLE_TPU_MESH env; unset = 1 chip)")
     args = parser.parse_args(argv)
     if args.device is not None:
         import jax
 
         jax.config.update("jax_default_device", jax.devices()[args.device])
+    if args.mesh:
+        from dipole_tpu.serve import handlers
+
+        handlers.set_mesh(args.mesh)
     Path(args.log_dir).mkdir(parents=True, exist_ok=True)
     if args.warmup:
         warmup([int(x) for x in args.warmup.split(",") if x],

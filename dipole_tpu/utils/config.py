@@ -3,6 +3,7 @@ reference (options.py:5-32), plus a dataclass view for programmatic use."""
 from __future__ import annotations
 
 import argparse
+import os
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -25,6 +26,9 @@ def get_parser(name: str = "Base Options") -> argparse.ArgumentParser:
     parser.add_argument("--estimate_normals", action="store_true")
     parser.add_argument("--n", type=int, default=30,
                         help="size of knn for normal estimation")
+    parser.add_argument("--mesh", default=os.environ.get("DIPOLE_TPU_MESH"),
+                        help="multi-chip: device count or 'auto' "
+                             "(default: DIPOLE_TPU_MESH env; unset = 1 chip)")
     return parser
 
 
@@ -51,3 +55,4 @@ class PipelineOptions:
     weighted_prop: bool = False
     estimate_normals: bool = False
     n: int = 30
+    mesh: object = None

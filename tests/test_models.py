@@ -124,6 +124,27 @@ def test_ensemble_vote_on_real_patch():
     assert (probs >= 0).all() and (probs <= 1).all()
 
 
+def test_ensemble_vote_order_invariant():
+    """Per-model keys fold a checkpoint content digest, so reordering
+    --models cannot change votes (round-2 finding: index-folded keys made
+    model ORDER a hidden RNG knob with a 0.94-0.98 end-to-end spread)."""
+    from dipole_tpu.models.inference import ensemble_vote_patches
+    from dipole_tpu.utils.io import load_xyz, Transform
+
+    pc = load_xyz("/root/reference/data/ok.xyz")
+    pc, _ = Transform.trans(pc)
+    patches = [pc[:150], pc[150:290]]
+    models = [load_model_from_file(f"{PRE}/{n}.pt") for n in ["hands", "hands2"]]
+    assert models[0].content_digest != models[1].content_digest
+    assert models[0].content_digest == load_model_from_file(
+        f"{PRE}/hands.pt").content_digest
+    fwd = ensemble_vote_patches(models, patches)
+    rev = ensemble_vote_patches(models[::-1], patches)
+    for (f_a, p_a), (f_b, p_b) in zip(fwd, rev):
+        np.testing.assert_array_equal(f_a, f_b)
+        np.testing.assert_allclose(p_a, p_b, rtol=0, atol=0)
+
+
 def test_padded_forward_gradients_finite(hands_sd):
     """Padding rows must never poison gradients: when the number of padded
     slots at a pooled stage is smaller than the kNN kernel K, sentinel rows

@@ -169,6 +169,30 @@ def test_hoppe_orientation():
     assert max(agree, 1 - agree) > 0.98
 
 
+def test_hoppe_orientation_multi_component():
+    """Disconnected components are each seeded from their own max-z vertex
+    (reference delegates to Open3D orient_normals_consistent_tangent_plane,
+    which orients every component — socket_server.py:40-60)."""
+    from tests.conftest import scramble_signs
+
+    gt = make_sphere(300, seed=21)
+    far = gt.copy()
+    far[:, :3] += np.array([50.0, 0.0, 0.0], dtype=gt.dtype)  # disconnected twin
+    both = np.concatenate([gt, far], axis=0)
+    scr, _ = scramble_signs(both, seed=22)
+    out = graphs.orient_normals_hoppe(scr, k=10)
+    single = graphs.orient_normals_hoppe(
+        scramble_signs(gt, seed=22)[0], k=10)
+    for half_gt, half_out in ((gt, out[:300]), (far, out[300:])):
+        agree = ((half_out[:, 3:] * half_gt[:, 3:]).sum(1) > 0).mean()
+        # each component independently consistent AND globally max-z-up,
+        # i.e. same result as orienting the component alone
+        assert agree > 0.98
+    # component 1 matches the single-component run exactly in orientation
+    agree01 = ((out[:300, 3:] * single[:, 3:]).sum(1) > 0).mean()
+    assert agree01 > 0.98
+
+
 def test_estimate_keep_orientation():
     from dipole_tpu.ops.estimate import estimate_normals
 

@@ -159,13 +159,17 @@ def test_xie_in_order_sharded_matches_single(mesh):
                 pc, orders, mesh, diffuse=diffuse, kernel=kernel)
             assert multi.shape == single.shape
             agree = (multi == single).mean()
-            assert agree == 1.0, (kernel, diffuse, agree)
+            # per-shard-then-psum is a different float summation order than
+            # the single-device full-row einsum, so exact equality is not
+            # bit-guaranteed across device counts/hardware; require
+            # agreement-rate (observed 1.0 on the 8-way CPU mesh)
+            assert agree >= 0.99, (kernel, diffuse, agree)
     # the propagation eps must NOT leak into the dipole matrix (the
     # single-device replay pins its matrix eps at 1e-6 regardless)
     single = propagate.xie_propagation_in_order(pc, orders, kernel="dipole",
                                                 eps=0.01)
     multi = xie_in_order_sharded(pc, orders, mesh, kernel="dipole", eps=0.01)
-    assert (multi == single).mean() == 1.0
+    assert (multi == single).mean() >= 0.99
     with pytest.raises(ValueError):
         xie_in_order_sharded(pc, orders, mesh, kernel="typo")
 
@@ -180,3 +184,89 @@ def test_bfs_tree_mesh_matches_single(mesh):
     multi, _ = propagate.xie_propagation_bfs_tree(
         pc, eps=0.01, times=3, diffuse=True, mesh=mesh)
     assert (multi == single).all()
+
+
+def test_point_group_interaction_sharded_matches_single(mesh):
+    """Target-sharded F (the patch-pipeline core): identical to the
+    single-device kernel (same source-block scan order per row)."""
+    rng = np.random.default_rng(40)
+    pc = make_sphere(700, seed=40)
+    seg = rng.integers(0, 9, size=len(pc)).astype(np.int32)
+    single = np.asarray(fields.point_group_interaction(pc, seg, 9, eps=1e-5))
+    multi = sharding.point_group_interaction_sharded(pc, seg, 9, mesh, eps=1e-5)
+    assert multi.shape == single.shape
+    np.testing.assert_array_equal(multi, single)
+    # weighted variant
+    w = rng.uniform(0.1, 1.0, size=len(pc)).astype(np.float32)
+    single_w = np.asarray(
+        fields.point_group_interaction(pc, seg, 9, eps=1e-5, source_weights=w))
+    multi_w = sharding.point_group_interaction_sharded(
+        pc, seg, 9, mesh, eps=1e-5, source_weights=w)
+    np.testing.assert_array_equal(multi_w, single_w)
+
+
+def test_patch_propagation_mesh_matches_single(mesh):
+    """strongest_field_propagation_patches / _reps with mesh=: identical
+    oriented output (the multi-chip patch pipeline, VERDICT r2 item 1)."""
+    from dipole_tpu.ops import propagate
+
+    rng = np.random.default_rng(41)
+    pc = make_sphere(600, seed=41)
+    scram = rng.random(len(pc)) < 0.5
+    pc[scram, 3:] *= -1
+    order = rng.permutation(len(pc))
+    all_patches = [np.sort(order[i::6]) for i in range(6)]
+    filtered = [(i, p) for i, p in enumerate(all_patches)]
+    w = rng.uniform(0.2, 1.0, size=len(pc)).astype(np.float32)
+    for diffuse in (False, True):
+        single = propagate.strongest_field_propagation_patches(
+            pc, filtered, all_patches, diffuse=diffuse, weights=w)
+        multi = propagate.strongest_field_propagation_patches(
+            pc, filtered, all_patches, diffuse=diffuse, weights=w, mesh=mesh)
+        np.testing.assert_array_equal(multi, single)
+    reps = []
+    for p in all_patches:
+        perm = rng.permutation(len(p))
+        reps.append((p[perm[:60]], p[perm[60:]]))
+    single = propagate.strongest_field_propagation_reps(pc, reps, diffuse=True)
+    multi = propagate.strongest_field_propagation_reps(pc, reps, diffuse=True,
+                                                       mesh=mesh)
+    sign_agree = ((single[:, 3:] * multi[:, 3:]).sum(1) > 0).mean()
+    assert sign_agree == 1.0, sign_agree
+
+
+def test_ensemble_forward_mesh_matches_single(mesh):
+    """pointcnn_logits_batched with the batch axis sharded over the mesh:
+    per-patch logits match the single-device vmap (patches independent)."""
+    from dipole_tpu import train
+    from dipole_tpu.models.pointcnn import pointcnn_logits_batched
+
+    params = train.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(42)
+    patches = []
+    for i in range(10):
+        p = rng.normal(size=(rng.integers(40, 120), 6)).astype(np.float32)
+        p[:, 3:] /= np.linalg.norm(p[:, 3:], axis=1, keepdims=True)
+        patches.append(p)
+    key = jax.random.PRNGKey(5)
+    single = pointcnn_logits_batched(params, 0.6, patches, key=key)
+    multi = pointcnn_logits_batched(params, 0.6, patches, key=key, mesh=mesh)
+    for s, m in zip(single, multi):
+        np.testing.assert_allclose(m, s, rtol=2e-4, atol=2e-5)
+
+
+def test_resolve_mesh():
+    from dipole_tpu.api import resolve_mesh
+
+    assert resolve_mesh(None) is None
+    assert resolve_mesh(1) is None
+    assert resolve_mesh("off") is None
+    assert resolve_mesh("0") is None
+    m = resolve_mesh(8)
+    assert m is not None and m.devices.size == 8
+    assert resolve_mesh(m) is m
+    auto = resolve_mesh("auto")
+    assert auto is not None and auto.devices.size == len(jax.devices())
+    assert resolve_mesh("4").devices.size == 4
+    with pytest.raises(ValueError):
+        resolve_mesh(3.5)
