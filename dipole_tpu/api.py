@@ -118,17 +118,28 @@ def orient_patches(points, models=(), iters: int = 100,
                    minimum_points_per_patch: int = 21,
                    curvature_threshold: float = 0.0, diffuse: bool = False,
                    weighted_prop: bool = False, estimate: bool = False,
-                   n: int = 30, timer=None, mesh=None) -> np.ndarray:
+                   n: int = 30, timer=None, mesh=None,
+                   torch_rng: int | None = None) -> np.ndarray:
     """Patch pipeline with PointCNN ensemble correction (reference
     orient_pointcloud.py:11-83): voxel patches -> curvature filter ->
     orient_center -> iterate {ensemble votes, periodic patch propagation} ->
     final propagation -> lattice sign fix. mesh: optional Mesh / device
     count / 'auto' — the ensemble forward batch and the patch-interaction
-    pair work shard over the devices (results unchanged)."""
+    pair work shard over the devices (results unchanged).
+
+    torch_rng: optional int seed — replay the torch reference's FPS-start
+    randomness bit-exactly (the reference pins torch.manual_seed(1),
+    orient_pointcloud.py:8; pass 1 to reproduce its runs). One MT19937
+    stream is consumed across all iterations in the reference's order."""
     import jax
 
     stage_timer = timer or timer_factory()
     mesh = resolve_mesh(mesh)
+    rng_stream = None
+    if torch_rng is not None:
+        from dipole_tpu.utils.torch_rng import TorchMT19937
+
+        rng_stream = TorchMT19937(int(torch_rng))
     pc = np.asarray(points, dtype=np.float32)
     if estimate or pc.shape[1] == 3:
         with stage_timer("estimate unoriented normals"):
@@ -168,7 +179,7 @@ def orient_patches(points, models=(), iters: int = 100,
                 key, sub = jax.random.split(key)
                 votes = ensemble_vote_patches(
                     models, [input_pc[pidx] for _, pidx in patch_indices],
-                    key=sub, mesh=mesh,
+                    key=sub, mesh=mesh, torch_rng=rng_stream,
                 )
                 for (_, pidx), (flip, probs) in zip(patch_indices, votes):
                     probs = probs.copy()

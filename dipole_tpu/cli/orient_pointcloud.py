@@ -31,6 +31,7 @@ def run(opts):
         diffuse=opts.diffuse, weighted_prop=opts.weighted_prop,
         estimate=opts.estimate_normals, n=opts.n, timer=stage_timer,
         mesh=getattr(opts, "mesh", None),
+        torch_rng=getattr(opts, "torch_rng", None),
     )
 
     stage_timer.print_total_time()

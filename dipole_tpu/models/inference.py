@@ -29,6 +29,40 @@ def voting_policy(probs_list):
     return probs < 0.5, probs
 
 
+def _canon_reference(patch: np.ndarray) -> np.ndarray:
+    """Reference-exact patch canonicalization (reference models/pointcnn.py:
+    36-38 + util.rotate_to_principle_components, util.py:503-517): center
+    xyz, PCA-rotate (xyz scaled by sqrt of the largest eigenvalue, normals
+    rotated unscaled).
+
+    Computed with torch when importable so the LAPACK eigenvector SIGN
+    convention matches the torch pipeline bit-for-bit (the only remaining
+    divergence of the golden replay: measured 137/2734 per-pass flip diffs
+    from our closed-form eigh vs 0 with the torch basis). The numpy fallback
+    keeps the same recipe under numpy's LAPACK."""
+    patch = np.asarray(patch, np.float32)
+    try:
+        import torch
+
+        x = torch.tensor(patch.copy())
+        x[:, :3] -= x[:, :3].mean(dim=0)
+        temp = x[:, :3] - x.mean(dim=0)[None, :3]
+        cov = temp.transpose(0, 1) @ temp / x.shape[0]
+        e, v = torch.linalg.eigh(cov, UPLO="U")  # torch.symeig's default half
+        rotated = (x[:, :3] @ v) / torch.sqrt(e[2])
+        return torch.cat([rotated, x[:, 3:] @ v], dim=-1).numpy()
+    except ImportError:
+        x = patch.copy()
+        x[:, :3] -= x[:, :3].mean(0)
+        temp = x[:, :3] - x.mean(0)[None, :3]
+        cov = temp.T @ temp / np.float32(x.shape[0])
+        e, V = np.linalg.eigh(cov)
+        out = np.empty_like(x)
+        out[:, :3] = (x[:, :3] @ V) / np.sqrt(e[2])
+        out[:, 3:] = x[:, 3:] @ V
+        return out
+
+
 def _model_key(key, model, index: int):
     """Per-model PRNG key folded over a content digest of the checkpoint
     (not the model-list index), so --models ordering cannot move results.
@@ -52,13 +86,23 @@ def ensemble_vote(models, patch, key=None):
     return voting_policy(votes)
 
 
-def ensemble_vote_patches(models, patches, key=None, mesh=None):
+def ensemble_vote_patches(models, patches, key=None, mesh=None,
+                          torch_rng=None):
     """Ensemble-vote many ragged patches at once: patches are grouped into
     shared padded buckets and each model runs one vmapped forward per group
     (instead of len(models) * len(patches) sequential dispatches). Exact
     per-patch semantics are unchanged — each forward only ever reads its own
     patch. Returns a list of (flip_mask, probs) aligned with `patches`.
-    mesh: optional Mesh — the patch batch is sharded over its devices."""
+    mesh: optional Mesh — the patch batch is sharded over its devices.
+
+    torch_rng: optional utils.torch_rng.TorchMT19937 — FPS starts are drawn
+    from it host-side in the reference's consumption order (patch-major,
+    model-inner; one randint(n) + one randint(ceil(pool*n)) per forward,
+    reference orient_pointcloud.py:48 + the fps calls at pointcnn.py:68,73),
+    replaying the torch pipeline's randomness bit-exactly. The stream is
+    stateful: the same generator must be passed across iterations."""
+    import math
+
     import jax
 
     from dipole_tpu.models.pointcnn import _bucket, pointcnn_logits_batched
@@ -72,14 +116,33 @@ def ensemble_vote_patches(models, patches, key=None, mesh=None):
     shared = _bucket(max(len(p) for p in patches))
     groups: dict[int, list[int]] = {shared: list(range(len(patches)))}
 
+    starts = None
+    canon = None
+    if torch_rng is not None:
+        # draw in the reference's nested order, then regroup per model
+        starts = np.zeros((len(models), len(patches), 2), np.int32)
+        for pi, p in enumerate(patches):
+            n = len(p)
+            for mi, model in enumerate(models):
+                m1_ref = int(math.ceil(model.pool * n))
+                starts[mi, pi, 0] = torch_rng.randint(n)
+                starts[mi, pi, 1] = torch_rng.randint(m1_ref)
+        # reference-exact canonicalization (host-side, shared by all models:
+        # the reference re-canonicalizes per model call but the input and
+        # recipe are identical each time)
+        canon = [_canon_reference(p) for p in patches]
+
     probs_per_model = [[None] * len(patches) for _ in models]
     for mi, model in enumerate(models):
         mkey = _model_key(key, model, mi)
         for b, idxs in groups.items():
             gkey = jax.random.fold_in(mkey, b)
+            src = patches if canon is None else canon
             outs = pointcnn_logits_batched(
-                model.params, model.pool, [patches[i] for i in idxs], key=gkey,
+                model.params, model.pool, [src[i] for i in idxs], key=gkey,
                 bucket=b, mesh=mesh,
+                starts=None if starts is None else starts[mi][idxs],
+                precanon=canon is not None,
             )
             for i, logits in zip(idxs, outs):
                 probs_per_model[mi][i] = _softmax(logits)[:, 1]

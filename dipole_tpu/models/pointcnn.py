@@ -237,6 +237,16 @@ def _forward(p, pc, valid, key, pool, m1: int, m2: int):
 
 
 @partial(jax.jit, static_argnames=("m1", "m2"))
+def _forward_starts(p, pc, valid, s1, s2, pool, m1: int, m2: int):
+    """Padded forward with explicit FPS start indices (s1 within the valid
+    prefix, s2 within the stage-1 valid prefix). Used by the torch-compatible
+    RNG replay: starts drawn host-side from utils.torch_rng reproduce the
+    reference's randint stream exactly."""
+    x, pos1 = _canonicalize(pc, valid)
+    return _forward_core(p, x, pos1, valid, pool, m1, m2, s1, s2)
+
+
+@partial(jax.jit, static_argnames=("m1", "m2"))
 def _forward_pinned(p, x, pos1, pool, m1: int, m2: int, s1, s2):
     """Parity/testing entry: unpadded canonicalized input with pinned FPS
     starts — makes the composition bit-for-bit comparable against the torch
@@ -302,6 +312,25 @@ def _forward_batched(p, pc, valid, keys, pool, m1: int, m2: int):
     )(pc, valid, keys)
 
 
+@partial(jax.jit, static_argnames=("m1", "m2"))
+def _forward_batched_starts(p, pc, valid, s1, s2, pool, m1: int, m2: int):
+    def one(c, v, a, b):
+        x, pos1 = _canonicalize(c, v)
+        return _forward_core(p, x, pos1, v, pool, m1, m2, a, b)
+
+    return jax.vmap(one)(pc, valid, s1, s2)
+
+
+@partial(jax.jit, static_argnames=("m1", "m2"))
+def _forward_batched_precanon(p, x, pos, valid, s1, s2, pool, m1: int, m2: int):
+    """Batched forward on ALREADY-canonicalized inputs (the torch-exact
+    replay path: canonicalization happens host-side with the reference's
+    own LAPACK convention, see inference._canon_reference)."""
+    return jax.vmap(
+        lambda c, q, v, a, b: _forward_core(p, c, q, v, pool, m1, m2, a, b)
+    )(x, pos, valid, s1, s2)
+
+
 # Widest vmapped batch per compiled program. Wider batches amortize dispatch
 # better but the program size grows linearly with the batch width; at 256-wide
 # x 1024-point buckets the backend's remote compiler falls over (HTTP 500,
@@ -355,7 +384,8 @@ def _forward_batched_sharded(mesh, m1: int, m2: int):
 
 
 def pointcnn_logits_batched(params, pool: float, patches, key=None,
-                            bucket=None, mesh=None) -> list:
+                            bucket=None, mesh=None, starts=None,
+                            precanon: bool = False) -> list:
     """Run the forward over many ragged patches with few compiled programs:
     patches are padded to a shared power-of-two bucket and vmapped in chunks
     of at most MAX_FORWARD_BATCH (each chunk width a power of two, so chunks
@@ -363,7 +393,16 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
 
     mesh: optional jax.sharding.Mesh — the batch axis is sharded over its
     first axis (chunk width scales by the device count; per-patch results
-    are unchanged, patches being independent)."""
+    are unchanged, patches being independent).
+
+    starts: optional (len(patches), 2) int array of explicit FPS start
+    indices per patch (stage-1 index within the patch, stage-2 index within
+    the pooled prefix) — the torch-compatible RNG replay path; overrides
+    key-derived starts.
+
+    precanon: patches are already canonicalized (requires starts) — the
+    in-jit canonicalization is skipped and padded rows get zero features /
+    sentinel positions directly."""
     patches = [np.asarray(p, np.float32) for p in patches]
     if not patches:
         return []
@@ -390,7 +429,28 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
         ck = jnp.concatenate(
             [keys[lo:lo + len(chunk)],
              jnp.tile(keys[lo:lo + 1], (Bp - len(chunk), 1))], axis=0)
-        if mesh is not None:
+        if starts is not None:
+            st = np.zeros((Bp, 2), np.int32)
+            st[: len(chunk)] = np.asarray(starts, np.int32)[lo:lo + len(chunk)]
+            if precanon:
+                pos = np.full((Bp, nb, 3), _SENTINEL, np.float32)
+                for i, p in enumerate(chunk):
+                    pos[i, : len(p)] = p[:, :3]
+                out = np.asarray(
+                    _forward_batched_precanon(
+                        params, jnp.asarray(pc), jnp.asarray(pos),
+                        jnp.asarray(valid), jnp.asarray(st[:, 0]),
+                        jnp.asarray(st[:, 1]), jnp.float32(pool), m1, m2)
+                )
+            else:
+                out = np.asarray(
+                    _forward_batched_starts(params, jnp.asarray(pc),
+                                            jnp.asarray(valid),
+                                            jnp.asarray(st[:, 0]),
+                                            jnp.asarray(st[:, 1]),
+                                            jnp.float32(pool), m1, m2)
+                )
+        elif mesh is not None:
             fwd = _forward_batched_sharded(mesh, m1, m2)
             out = np.asarray(
                 fwd(params, jnp.asarray(pc), jnp.asarray(valid), ck,

@@ -208,6 +208,35 @@ def measure_mean_potential(pc) -> float:
     return float(jnp.mean(potential(pc, grid)))
 
 
+@jax.jit
+def _mean_potential_vmapped(src_pad, tgt_pad, n_grid):
+    def one(src):
+        phi = _potential_padded(src, tgt_pad)
+        w = jnp.arange(phi.shape[0]) < n_grid
+        return jnp.sum(jnp.where(w, phi, 0.0)) / n_grid
+
+    return jax.vmap(one)(src_pad)
+
+
+def measure_mean_potential_batched(pcs) -> np.ndarray:
+    """Mean lattice potential for several clouds in one vmapped dispatch —
+    the server micro-batching form of the global sign fix."""
+    from dipole_tpu.utils.io import gen_grid
+
+    if not len(pcs):
+        return np.zeros((0,), np.float32)
+    grid = _GRID_CACHE.setdefault(10, gen_grid(10))
+    rows = -(-max(len(p) for p in pcs) // BLOCK_S) * BLOCK_S
+    src = np.zeros((len(pcs), rows, 6), np.float32)
+    src[:, :, :3] = _SENTINEL
+    for i, p in enumerate(pcs):
+        src[i, : len(p)] = np.asarray(p, np.float32)
+    tgt = np.asarray(_prep_targets(grid))
+    means = _mean_potential_vmapped(jnp.asarray(src), jnp.asarray(tgt),
+                                    jnp.float32(len(grid)))
+    return np.asarray(means)
+
+
 def reference_field(ref_pc, target_pc) -> np.ndarray:
     """Orientation transfer from an oriented cloud (reference
     field_utils.py:188-201): evaluate the reference field at target points;

@@ -45,6 +45,7 @@ __all__ = [
     "xie_propagation_in_order",
     "xie_propagation_bfs_tree",
     "greedy_sign_sequence",
+    "greedy_sign_sequence_batched",
 ]
 
 _HI = jax.lax.Precision.HIGHEST
@@ -166,6 +167,13 @@ def greedy_sign_sequence(pts, starting_point: int = 0, eps: float = 1e-6,
             return propagate_pallas.greedy_sign_sequence_pallas(
                 pts, starting_point, eps
             )
+        if n <= propagate_pallas.MAX_PALLAS_STREAMED:
+            # beyond VMEM residency: cloud streamed from HBM per step, only
+            # accumulator + sign state resident — closes the 262k capacity
+            # cliff up to ~1M points on one chip, identical decisions
+            return propagate_pallas.greedy_sign_sequence_pallas_streamed(
+                pts, starting_point, eps
+            )
     pad = np.full((nb - n, 6), 0.0, np.float32)
     pad[:, :3] = 1.0e6  # sentinel position, zero moment
     pts_pad = jnp.asarray(np.concatenate([pts, pad], axis=0))
@@ -173,6 +181,45 @@ def greedy_sign_sequence(pts, starting_point: int = 0, eps: float = 1e-6,
         pts_pad, jnp.int32(starting_point), jnp.float32(eps), valid
     )
     return acc[:n], sign[:n]
+
+
+@jax.jit
+def _greedy_scan_onthefly_vmapped(pts, starts, eps, valid):
+    return jax.vmap(
+        lambda p, s, v: _greedy_scan_onthefly(p, s, eps, v)
+    )(pts, starts, valid)
+
+
+def greedy_sign_sequence_batched(pts_list, starting_points=None,
+                                 eps: float = 1e-6):
+    """Run the greedy ordering for SEVERAL independent clouds as one vmapped
+    scan — the server's micro-batching core: B concurrent requests cost one
+    sequential pass instead of B (each scan step does B masked argmaxes and
+    B column evals, all vectorized). Decisions per cloud are exactly the
+    single-cloud on-the-fly path's (same kernel, batched carries).
+
+    Returns a list of (acc, sign) host arrays aligned with pts_list."""
+    if not pts_list:
+        return []
+    pts_list = [np.asarray(p, np.float32) for p in pts_list]
+    B = len(pts_list)
+    nb = _bucket(max(len(p) for p in pts_list))
+    pts_pad = np.zeros((B, nb, 6), np.float32)
+    pts_pad[:, :, :3] = 1.0e6                    # sentinel, zero moment
+    valid = np.zeros((B, nb), bool)
+    for i, p in enumerate(pts_list):
+        pts_pad[i, : len(p)] = p
+        valid[i, : len(p)] = True
+    if starting_points is None:
+        starting_points = [0] * B
+    starts = np.asarray(starting_points, np.int32)
+    acc, sign = _greedy_scan_onthefly_vmapped(
+        jnp.asarray(pts_pad), jnp.asarray(starts), jnp.float32(eps),
+        jnp.asarray(valid))
+    acc = np.asarray(acc)
+    sign = np.asarray(sign)
+    return [(acc[i, : len(p)], sign[i, : len(p)])
+            for i, p in enumerate(pts_list)]
 
 
 def strongest_field_propagation_points(pts, diffuse: bool = False,

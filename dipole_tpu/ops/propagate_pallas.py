@@ -22,7 +22,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["greedy_sign_sequence_pallas", "MAX_PALLAS_GREEDY"]
+__all__ = ["greedy_sign_sequence_pallas", "MAX_PALLAS_GREEDY",
+           "greedy_sign_sequence_pallas_streamed", "MAX_PALLAS_STREAMED"]
 
 _SENTINEL = 1.0e6
 # Bounded by the same VMEM panel budget as fields_pallas.MAX_PALLAS_SOURCES
@@ -143,3 +144,187 @@ def greedy_sign_sequence_pallas(pts, starting_point: int = 0, eps: float = 1e-6)
     acc = np.asarray(acc8).reshape(-1)[:n]
     sign = np.asarray(sign8).reshape(-1)[:n]
     return acc, sign
+
+
+# ---------------------------------------------------------------------------
+# HBM-streamed greedy: capacity beyond the VMEM-resident kernel
+# ---------------------------------------------------------------------------
+
+# The VMEM-resident kernel caps at MAX_PALLAS_GREEDY because cloud + state
+# must co-reside on chip. Streaming the cloud from HBM leaves only the
+# accumulator and the visited/sign plane resident (8 bytes/point), so the
+# ceiling becomes VMEM/8 ~ 1M points; the cloud's six channel planes are
+# double-buffered through VMEM in _STREAM_CHUNK-lane panels each step
+# (flash-attention-style). HBM traffic is 24*N bytes/step — the same O(N^2)
+# pair work as any exact greedy, at HBM bandwidth instead of scan overhead.
+MAX_PALLAS_STREAMED = 1048576
+_STREAM_CHUNK = 2048                     # lanes per panel: (48, 2048) = 384 KB
+
+
+def _greedy_streamed_kernel(scal_ref, pts_hbm, acc_ref, state_ref):
+    """scal_ref (1, 4) f32 SMEM: [start, eps, n_real, unused] (ints exact in
+    f32 up to 2^24 >> MAX_PALLAS_STREAMED).
+    pts_hbm (48, M) ANY/HBM: six channel planes as in the resident kernel.
+    acc_ref (8, M) VMEM out: final accumulated interaction.
+    state_ref (8, M) VMEM out: 0 = unvisited, +-1 = visited with that sign
+    (padding rows are parked at +2 so they are never selected)."""
+    M = acc_ref.shape[1]
+    chunk = min(_STREAM_CHUNK, M)
+    K = M // chunk
+    start = scal_ref[0, 0].astype(jnp.int32)
+    eps = scal_ref[0, 1]
+    n_real = scal_ref[0, 2].astype(jnp.int32)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, M), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (8, M), 1)
+    flat = rows * M + cols
+
+    def body(bufs, bsem, cur, csem):
+        crows = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 0)
+        ccols = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 1)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+        def fetch_point(c):
+            """DMA the chosen point's (48, 1) plane column; select its
+            sublane. Returns the six channel scalars."""
+            lane = c % M
+            dma = pltpu.make_async_copy(
+                pts_hbm.at[:, pl.ds(lane, 1)], cur, csem)
+            dma.start()
+            dma.wait()
+            row = c // M
+            hit8 = sub8 == row
+
+            def pick(ch):
+                return jnp.sum(jnp.where(hit8, cur[ch * 8:(ch + 1) * 8, :], 0.0))
+
+            return (pick(0), pick(1), pick(2), pick(3), pick(4), pick(5))
+
+        def chunk_dma(slot, k):
+            return pltpu.make_async_copy(
+                pts_hbm.at[:, pl.ds(k * chunk, chunk)],
+                bufs.at[slot], bsem.at[slot])
+
+        def sweep(sv, upd, init: bool):
+            """acc[:, k*chunk:(k+1)*chunk] (+)= upd * column(source sv) for
+            every chunk, double-buffered. init=True writes instead of adds
+            (a static Python flag: two sweep bodies are traced)."""
+            sx, sy, sz, spx, spy, spz = sv
+            chunk_dma(0, 0).start()
+
+            def cbody(k, _):
+                slot = jax.lax.rem(k, 2)
+
+                @pl.when(k + 1 < K)
+                def _():
+                    chunk_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+                pltpu.make_async_copy(
+                    pts_hbm.at[:, pl.ds(k * chunk, chunk)],
+                    bufs.at[slot], bsem.at[slot]).wait()
+                buf = bufs[slot]
+                x = buf[0:8, :]
+                y = buf[8:16, :]
+                z = buf[16:24, :]
+                px = buf[24:32, :]
+                py = buf[32:40, :]
+                pz = buf[40:48, :]
+                Rx = sx - x
+                Ry = sy - y
+                Rz = sz - z
+                r2 = Rx * Rx + Ry * Ry + Rz * Rz
+                zero = r2 == 0.0
+                rr = jnp.sqrt(r2)
+                denom = rr * r2 + eps
+                cdot = spx * Rx + spy * Ry + spz * Rz
+                Rn = px * Rx + py * Ry + pz * Rz
+                pn = spx * px + spy * py + spz * pz
+                safe_r2 = jnp.where(zero, 1.0, r2)
+                t = 1.0 / (safe_r2 * denom)
+                col = -t * (3.0 * cdot * Rn - pn * safe_r2)
+                col = jnp.where(zero, 0.0, col)
+                col = jnp.where(jnp.isfinite(col), col, 0.0)
+                sl = pl.ds(k * chunk, chunk)
+                if init:
+                    acc_ref[:, sl] = upd * col
+                else:
+                    acc_ref[:, sl] = acc_ref[:, sl] + upd * col
+                return 0
+
+            jax.lax.fori_loop(0, K, cbody, 0)
+
+        # init: start point visited at +1, padding parked at +2, acc = its column
+        state_ref[:] = jnp.where(
+            flat == start, 1.0, jnp.where(flat >= n_real, 2.0, 0.0))
+        sweep(fetch_point(start), jnp.float32(1.0), True)
+
+        def step(_, __):
+            acc = acc_ref[:]
+            state = state_ref[:]
+            masked = jnp.where(state != 0.0, _NEG, jnp.abs(acc))
+            m = jnp.max(masked)
+            cand = jnp.where(masked == m, flat, _IMAX)
+            c = jnp.min(cand)
+            live = m > _NEG / 2
+            hit = flat == c
+            acc_c = jnp.sum(jnp.where(hit, acc, 0.0))
+            s = jnp.where(acc_c < 0, -1.0, 1.0)
+            upd = jnp.where(live, s, 0.0)
+            state_ref[:] = jnp.where(hit & live, s, state)
+            sweep(fetch_point(c), upd, False)
+            return 0
+
+        jax.lax.fori_loop(0, M * 8 - 1, step, 0)
+
+    pl.run_scoped(
+        body,
+        bufs=pltpu.VMEM((2, 48, chunk), jnp.float32),
+        bsem=pltpu.SemaphoreType.DMA((2,)),
+        cur=pltpu.VMEM((48, 1), jnp.float32),
+        csem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@jax.jit
+def _greedy_streamed_padded(planes: jnp.ndarray, scal: jnp.ndarray):
+    M = planes.shape[1]
+    return pl.pallas_call(
+        _greedy_streamed_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, M), jnp.float32),
+            jax.ShapeDtypeStruct((8, M), jnp.float32),
+        ),
+        grid=(),
+    )(scal, planes)
+
+
+def greedy_sign_sequence_pallas_streamed(pts, starting_point: int = 0,
+                                         eps: float = 1e-6):
+    """(acc, sign) beyond the VMEM-resident ceiling: cloud streamed from HBM,
+    only accumulator + sign state resident. Same decision semantics."""
+    pts = np.asarray(pts, np.float32)
+    n = len(pts)
+    nb = _bucket(max(n, 1024))
+    M = nb // 8
+    planes = np.zeros((48, M), np.float32)
+    for ch in range(6):
+        col = np.full(nb, _SENTINEL if ch < 3 else 0.0, np.float32)
+        col[:n] = pts[:, ch]
+        planes[ch * 8:(ch + 1) * 8] = col.reshape(8, M)
+    # n_real marks padding by flat index — valid because the plane layout
+    # puts point i at (i // M, i % M), so flat >= n <=> padding row
+    scal = np.array([[float(starting_point), eps, float(n), 0.0]], np.float32)
+    acc8, state8 = _greedy_streamed_padded(jnp.asarray(planes),
+                                           jnp.asarray(scal))
+    acc = np.asarray(acc8).reshape(-1)[:n]
+    state = np.asarray(state8).reshape(-1)[:n]
+    sign = np.where(state == -1.0, -1.0, np.where(state == 1.0, 1.0, 0.0))
+    return acc, sign.astype(np.float32)

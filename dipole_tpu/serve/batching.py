@@ -1,0 +1,130 @@
+"""Server micro-batching: coalesce concurrent same-shape requests into one
+vmapped device program.
+
+The reference's parallel server (socket_server_para.py:200-211) overlaps
+requests with threads but dispatches every request's GPU work serially; on
+one chip that serializes the propagation scans. Here concurrent requests to
+the same function with equal config and a shared padding bucket are fused:
+the first thread in becomes the batch leader, waits a few milliseconds for
+followers, then runs ONE vmapped scan for the whole batch
+(ops/propagate.greedy_sign_sequence_batched) and one vmapped sign fix
+(ops/fields.measure_mean_potential_batched). B requests cost ~one request's
+sequential latency instead of B.
+
+Per-request results are independent of batch composition: each vmapped lane
+reads only its own cloud.
+"""
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+
+__all__ = ["MicroBatcher", "batched_simple_estimate"]
+
+
+class _Job:
+    __slots__ = ("payload", "result", "error", "event")
+
+    def __init__(self, payload):
+        self.payload = payload
+        self.result = None
+        self.error = None
+        self.event = threading.Event()
+
+
+class MicroBatcher:
+    """Coalesces submissions with equal signature into one runner call.
+
+    submit(sig, payload, runner) blocks until the result for `payload` is
+    ready. The first thread per signature becomes the leader: it sleeps
+    `window_s` to let followers join, then pops up to `max_batch` jobs and
+    calls runner([payloads]) -> [results]. Followers just wait. A runner
+    exception is re-raised in every waiting thread."""
+
+    def __init__(self, window_s: float = 0.01, max_batch: int = 16):
+        self.window_s = float(window_s)
+        self.max_batch = int(max_batch)
+        self._lock = threading.Lock()
+        self._queues: dict = {}
+        self.batches_run = 0
+        self.jobs_run = 0
+
+    def submit(self, sig, payload, runner):
+        job = _Job(payload)
+        with self._lock:
+            queue = self._queues.setdefault(sig, [])
+            queue.append(job)
+            leader = len(queue) == 1
+        if not leader:
+            job.event.wait()
+            if job.error is not None:
+                raise job.error
+            return job.result
+
+        if self.window_s > 0:
+            time.sleep(self.window_s)
+        with self._lock:
+            queue = self._queues.get(sig, [])
+            jobs = queue[: self.max_batch]
+            del queue[: self.max_batch]
+            if not queue:
+                self._queues.pop(sig, None)
+        try:
+            results = runner([j.payload for j in jobs])
+            if len(results) != len(jobs):
+                raise RuntimeError(
+                    f"batch runner returned {len(results)} results for "
+                    f"{len(jobs)} jobs")
+            for j, r in zip(jobs, results):
+                j.result = r
+        except Exception as e:  # noqa: BLE001 — must release every waiter
+            for j in jobs:
+                j.error = e
+        finally:
+            for j in jobs:
+                j.event.set()
+        if job.error is not None:
+            raise job.error
+        with self._lock:
+            self.batches_run += 1
+            self.jobs_run += len(jobs)
+        return job.result
+
+
+def _simple_core_batch(payloads):
+    """Batched device core of simple_estimate: payloads are (pc, diffuse)
+    with pc already normal-estimated and normalized; returns oriented pcs
+    (still normalized — the caller inverts its own transform)."""
+    from dipole_tpu.ops import fields, propagate
+
+    pcs = [p for p, _ in payloads]
+    results = propagate.greedy_sign_sequence_batched(pcs)
+    out = []
+    for (pc, diffuse), (acc, sign) in zip(payloads, results):
+        if diffuse:
+            vote = np.where(acc * sign > 0, 1.0, -1.0).astype(np.float32)
+            sign = sign * vote
+        o = pc.copy()
+        o[:, 3:6] *= sign[:, None]
+        out.append(o)
+    means = fields.measure_mean_potential_batched(out)
+    for o, m in zip(out, means):
+        if m < 0:
+            o[:, 3:6] *= -1
+    return out
+
+
+def batched_simple_estimate(batcher: MicroBatcher, xyz_data, config):
+    """simple_estimate with the device stages micro-batched. Host stages
+    (normal estimation, transform) stay in the calling thread so they still
+    overlap across requests."""
+    from dipole_tpu.ops.propagate import _bucket
+    from dipole_tpu.serve.handlers import _prep
+
+    pc, transform = _prep(xyz_data, max_nn=30)
+    diffuse = bool(config.get("diffuse", True))
+    sig = ("simple_estimate", diffuse, _bucket(len(pc)))
+    oriented = batcher.submit(sig, (pc, diffuse), _simple_core_batch)
+    return transform.inverse(oriented).astype(np.float64)

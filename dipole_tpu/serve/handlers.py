@@ -111,7 +111,7 @@ HANDLERS = {
 
 
 def dispatch(function_name: str, xyz_data: np.ndarray, config: dict,
-             log=None) -> np.ndarray:
+             log=None, batcher=None) -> np.ndarray:
     if function_name not in HANDLERS:
         raise ValueError(f"Unknown method: {function_name}")
     max_nn = config.get("max_nn", 30)
@@ -125,4 +125,9 @@ def dispatch(function_name: str, xyz_data: np.ndarray, config: dict,
         out = np.ones((len(xyz_data), 6))
         out[:, :3] = xyz_data
         return out
+    if batcher is not None and function_name == "simple_estimate" \
+            and _MESH is None:
+        from dipole_tpu.serve.batching import batched_simple_estimate
+
+        return batched_simple_estimate(batcher, xyz_data, config)
     return HANDLERS[function_name](xyz_data, config)

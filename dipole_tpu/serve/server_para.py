@@ -74,13 +74,19 @@ class AdmissionControl:
 class Server:
     def __init__(self, host=HOST, port=PORT, max_thread=MAX_THREAD,
                  admission: AdmissionControl | None = None,
-                 log_dir: str = "."):
+                 log_dir: str = ".", microbatch: bool = True,
+                 microbatch_window_s: float = 0.01):
         self.host = host
         self.port = port
         self.max_thread = max_thread
         self.log_dir = log_dir
         self.admission = admission or AdmissionControl(log_dir=log_dir)
         self._stop = threading.Event()
+        self.batcher = None
+        if microbatch:
+            from dipole_tpu.serve.batching import MicroBatcher
+
+            self.batcher = MicroBatcher(window_s=microbatch_window_s)
 
     def _log(self, msg: str, mode: str = "error") -> None:
         log_msg(msg, mode=mode, log_dir=self.log_dir)
@@ -96,7 +102,7 @@ class Server:
                 acquired = len(xyz)
                 result = dispatch(req["function_name"], xyz,
                                   req.get("function_config", {}),
-                                  log=self._log)
+                                  log=self._log, batcher=self.batcher)
                 protocol.send_result(conn, result)
             except Exception as e:  # noqa: BLE001
                 print(f"Error: {e}")
@@ -175,6 +181,11 @@ def main(argv=None):
                         default=os.environ.get("DIPOLE_TPU_MESH"),
                         help="multi-chip: device count or 'auto' "
                              "(default: DIPOLE_TPU_MESH env; unset = 1 chip)")
+    parser.add_argument("--no_microbatch", action="store_true",
+                        help="disable fusing concurrent same-shape requests "
+                             "into one vmapped device program")
+    parser.add_argument("--microbatch_window_ms", type=float, default=10.0,
+                        help="how long a batch leader waits for followers")
     args = parser.parse_args(argv)
     if args.device is not None:
         import jax
@@ -189,7 +200,8 @@ def main(argv=None):
         warmup([int(x) for x in args.warmup.split(",") if x],
                log_dir=args.log_dir)
     server = Server(args.host, args.port, args.max_thread,
-                    log_dir=args.log_dir)
+                    log_dir=args.log_dir, microbatch=not args.no_microbatch,
+                    microbatch_window_s=args.microbatch_window_ms / 1000.0)
     server.serve_forever()
 
 

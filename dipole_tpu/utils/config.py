@@ -29,6 +29,10 @@ def get_parser(name: str = "Base Options") -> argparse.ArgumentParser:
     parser.add_argument("--mesh", default=os.environ.get("DIPOLE_TPU_MESH"),
                         help="multi-chip: device count or 'auto' "
                              "(default: DIPOLE_TPU_MESH env; unset = 1 chip)")
+    parser.add_argument("--torch_rng", type=int, default=None,
+                        help="replay the torch reference's FPS-start RNG "
+                             "bit-exactly from this seed (reference pins "
+                             "torch.manual_seed(1))")
     return parser
 
 

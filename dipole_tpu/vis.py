@@ -18,6 +18,7 @@ import numpy as np
 from dipole_tpu.utils.io import write_ply
 
 __all__ = ["draw_pc", "draw_field", "draw_topology", "field_cross_section",
+           "plot_cross_section", "plot_isosurface",
            "sphere_mesh", "arrow_mesh", "write_triangle_mesh",
            "isosurface", "draw_field_isosurface"]
 
@@ -314,6 +315,121 @@ def draw_field_isosurface(pc, path, res: int = 48, extent: float = 1.2,
     if path is not None:
         write_triangle_mesh(path, verts, faces, colors)
     return verts, faces, colors
+
+
+def plot_cross_section(pc, path, axis: int = 2, value: float = 0.0,
+                       n: int = 128, extent: float = 1.2,
+                       quantity: str = "potential"):
+    """Figure-grade cross-section of the dipole field (the capability of
+    reference vis_field.plot_F, vis_field.py:11-73): renders the scalar field
+    on a plane as a PNG with the cloud's in-slab points overlaid.
+
+    Signed potential uses a diverging two-hue map with a neutral midpoint
+    (polarity: where the field flips sign is the quantity of interest);
+    field magnitude |E| uses a single-hue sequential map. Requires
+    matplotlib; when unavailable, falls back to the dependency-free
+    field_cross_section .ply export (path's suffix switched to .ply).
+    Returns the path actually written."""
+    from dipole_tpu.ops import fields
+
+    try:
+        import matplotlib
+        if not hasattr(matplotlib, "use"):  # a stub module is "absent"
+            raise ImportError("matplotlib is stubbed")
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        import pathlib
+
+        ply = pathlib.Path(path).with_suffix(".ply")
+        field_cross_section(pc, ply, axis=axis, value=value, n=n,
+                            extent=extent, quantity=quantity)
+        return ply
+
+    pc = np.asarray(pc, np.float32)
+    lin = np.linspace(-extent, extent, n)
+    a, b = np.meshgrid(lin, lin, indexing="ij")
+    grid = np.zeros((n * n, 3), np.float32)
+    other = [i for i in range(3) if i != axis]
+    grid[:, other[0]] = a.ravel()
+    grid[:, other[1]] = b.ravel()
+    grid[:, axis] = value
+    if quantity == "potential":
+        vals = np.asarray(fields.potential(pc, grid), np.float64)
+    else:
+        vals = np.linalg.norm(
+            np.asarray(fields.field_grad(pc, grid), np.float64), axis=-1)
+    V = vals.reshape(n, n)
+
+    fig, ax = plt.subplots(figsize=(6.4, 5.4), dpi=120)
+    if quantity == "potential":
+        scale = np.abs(vals).mean() + 1e-30
+        shown = np.tanh(V / scale)
+        im = ax.imshow(shown.T, origin="lower", cmap="RdBu_r",
+                       vmin=-1.0, vmax=1.0,
+                       extent=(-extent, extent, -extent, extent))
+        label = "tanh(potential / mean|potential|)"
+    else:
+        im = ax.imshow(V.T, origin="lower", cmap="Blues",
+                       extent=(-extent, extent, -extent, extent))
+        label = "|E|"
+    slab = np.abs(pc[:, axis] - value) < (2.0 * extent / n)
+    if slab.any():
+        ax.scatter(pc[slab, other[0]], pc[slab, other[1]], s=4,
+                   c="#222222", linewidths=0, alpha=0.8)
+    names = "xyz"
+    ax.set_xlabel(names[other[0]])
+    ax.set_ylabel(names[other[1]])
+    ax.set_title(f"dipole {quantity}, {names[axis]} = {value:g}")
+    fig.colorbar(im, ax=ax, label=label)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def plot_isosurface(pc, path, res: int = 40, extent: float = 1.2,
+                    levels: int = 6, quantity: str = "potential",
+                    elev: float = 22.0, azim: float = -60.0):
+    """Figure-grade nested-isosurface rendering (the PNG analog of reference
+    vis_field.plot_F's plotly isosurface): marching-tetrahedra surfaces of
+    the field drawn as translucent 3D meshes. Requires matplotlib; falls
+    back to the .ply mesh export when unavailable. Returns the path
+    actually written."""
+    try:
+        import matplotlib
+        if not hasattr(matplotlib, "use"):  # a stub module is "absent"
+            raise ImportError("matplotlib is stubbed")
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+    except ImportError:
+        import pathlib
+
+        ply = pathlib.Path(path).with_suffix(".ply")
+        draw_field_isosurface(pc, ply, res=res, extent=extent, levels=levels,
+                              quantity=quantity)
+        return ply
+
+    verts, faces, colors = draw_field_isosurface(
+        pc, None, res=res, extent=extent, levels=levels, quantity=quantity)
+    fig = plt.figure(figsize=(6.4, 6.0), dpi=120)
+    ax = fig.add_subplot(projection="3d")
+    if len(faces):
+        tri = verts[faces]
+        coll = Poly3DCollection(tri, alpha=0.25, linewidths=0)
+        coll.set_facecolor(colors[faces[:, 0]])
+        ax.add_collection3d(coll)
+    pc = np.asarray(pc, np.float32)
+    ax.scatter(pc[:, 0], pc[:, 1], pc[:, 2], s=2, c="#222222", alpha=0.6)
+    for setter in (ax.set_xlim, ax.set_ylim, ax.set_zlim):
+        setter(-extent, extent)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_title(f"dipole {quantity} isosurfaces")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path
 
 
 def field_cross_section(pc, path, axis: int = 2, value: float = 0.0,

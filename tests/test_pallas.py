@@ -61,3 +61,26 @@ def test_pallas_greedy_matches_scan_interpret():
     acc_s, sign_s = propagate.greedy_sign_sequence(pc)
     assert (np.asarray(sign_s) == sign_p).mean() == 1.0
     assert np.allclose(acc_p, np.asarray(acc_s), rtol=1e-3, atol=1e-2)
+
+
+def test_pallas_greedy_streamed_matches_scan_interpret():
+    """HBM-streamed greedy (capacity past the VMEM-resident ceiling): same
+    decisions as the XLA on-the-fly scan, including with diffuse-relevant
+    acc values and a nonzero start point."""
+    import os
+
+    from dipole_tpu.ops import propagate, propagate_pallas
+    from tests.conftest import make_sphere, scramble_signs
+
+    pc, _ = scramble_signs(make_sphere(500, seed=13), seed=14)
+    with pltpu.force_tpu_interpret_mode():
+        acc_p, sign_p = propagate_pallas.greedy_sign_sequence_pallas_streamed(
+            pc, starting_point=7, eps=1e-6)
+    os.environ["DIPOLE_TPU_NO_PALLAS"] = "1"
+    try:
+        acc_s, sign_s = propagate.greedy_sign_sequence(
+            pc, starting_point=7, matrix_limit=0)
+    finally:
+        os.environ.pop("DIPOLE_TPU_NO_PALLAS")
+    assert (np.asarray(sign_s) == sign_p).all()
+    np.testing.assert_allclose(acc_p, np.asarray(acc_s), rtol=1e-4, atol=1e-5)

@@ -24,12 +24,12 @@ def live_server(tmp_path_factory):
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     time.sleep(0.5)
-    yield "127.0.0.1", port
+    yield "127.0.0.1", port, server
     server.stop()
 
 
 def test_simple_estimate_roundtrip(live_server):
-    host, port = live_server
+    host, port, _ = live_server
     # scaled inside the 0.1 hybrid-search radius (the estimator's fixed
     # radius is in raw input units, as in the reference)
     xyz = make_sphere(120, seed=0)[:, :3].astype(np.float64) * 0.05
@@ -46,7 +46,7 @@ def test_simple_estimate_roundtrip(live_server):
 
 
 def test_degenerate_input_returns_dummy_normals(live_server):
-    host, port = live_server
+    host, port, _ = live_server
     xyz = np.random.default_rng(0).normal(size=(5, 3))
     out = protocol.request(host, port, "tree_xie_propagation", xyz,
                            {"max_nn": 10, "eps": 0.01, "diffuse": True,
@@ -56,7 +56,7 @@ def test_degenerate_input_returns_dummy_normals(live_server):
 
 
 def test_unknown_function_errors(live_server):
-    host, port = live_server
+    host, port, _ = live_server
     xyz = np.zeros((4, 3))
     with pytest.raises(RuntimeError):
         protocol.request(host, port, "no_such_method", xyz, {})
@@ -67,7 +67,7 @@ def test_fragmented_header_is_reassembled(live_server):
     until it parses instead of trusting one recv()."""
     import json
 
-    host, port = live_server
+    host, port, _ = live_server
     xyz = np.random.default_rng(1).normal(size=(5, 3)) * 0.05
     header = json.dumps({
         "data_size": len(xyz),
@@ -89,7 +89,7 @@ def test_fragmented_header_is_reassembled(live_server):
 
 
 def test_hoppe_estimate_roundtrip(live_server):
-    host, port = live_server
+    host, port, _ = live_server
     xyz = make_sphere(150, seed=1)[:, :3].astype(np.float64)
     out = protocol.request(host, port, "hoppe_estimate", xyz,
                            {"k_neighbor": 10, "r": 1.0})
@@ -131,7 +131,7 @@ def test_http_probe_fails_fast_and_server_stays_live(live_server):
     immediate ERROR instead of wedging the accept loop on a blocking recv."""
     import json
 
-    host, port = live_server
+    host, port, _ = live_server
     with socket.create_connection((host, port), timeout=10) as s:
         s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
         t0 = time.time()
@@ -142,3 +142,112 @@ def test_http_probe_fails_fast_and_server_stays_live(live_server):
     xyz = make_sphere(60, seed=3)[:, :3].astype(np.float64)
     out = protocol.request(host, port, "simple_estimate", xyz, {"diffuse": False})
     assert out.shape == (60, 6)
+
+
+def test_microbatcher_coalesces_and_propagates_errors():
+    import threading
+
+    from dipole_tpu.serve.batching import MicroBatcher
+
+    b = MicroBatcher(window_s=0.05, max_batch=8)
+    calls = []
+
+    def runner(payloads):
+        calls.append(list(payloads))
+        return [p * 2 for p in payloads]
+
+    results = {}
+
+    def worker(i):
+        results[i] = b.submit("sig", i, runner)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1 and sorted(calls[0]) == [0, 1, 2, 3]
+    assert results == {0: 0, 1: 2, 2: 4, 3: 6}
+    assert b.batches_run == 1 and b.jobs_run == 4
+
+    def bad_runner(payloads):
+        raise RuntimeError("boom")
+
+    errors = []
+
+    def bad_worker(i):
+        try:
+            b.submit("sig2", i, bad_runner)
+        except RuntimeError as e:
+            errors.append(str(e))
+
+    threads = [threading.Thread(target=bad_worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == ["boom"] * 3
+
+
+def test_greedy_batched_matches_single():
+    """Batched greedy (the micro-batch core) = per-cloud on-the-fly scan."""
+    import os
+
+    from dipole_tpu.ops import propagate
+    from tests.conftest import make_sphere, scramble_signs
+
+    clouds = [scramble_signs(make_sphere(n, seed=n), seed=n + 1)[0]
+              for n in (150, 200, 170)]
+    got = propagate.greedy_sign_sequence_batched(clouds)
+    assert len(got) == 3
+    os.environ["DIPOLE_TPU_NO_PALLAS"] = "1"
+    try:
+        for pc, (acc, sign) in zip(clouds, got):
+            # force the same on-the-fly kernel for the reference run
+            acc_s, sign_s = propagate.greedy_sign_sequence(pc, matrix_limit=0)
+            assert (np.asarray(sign_s) == sign).all()
+            np.testing.assert_allclose(acc, np.asarray(acc_s), rtol=1e-4,
+                                       atol=1e-5)
+    finally:
+        os.environ.pop("DIPOLE_TPU_NO_PALLAS")
+
+
+def test_mean_potential_batched_matches_single():
+    from dipole_tpu.ops import fields
+    from tests.conftest import make_sphere
+
+    clouds = [make_sphere(n, seed=n) * 0.5 for n in (80, 120)]
+    got = fields.measure_mean_potential_batched(clouds)
+    want = [fields.measure_mean_potential(pc) for pc in clouds]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_server_microbatch_concurrent_requests(live_server):
+    """Concurrent simple_estimate requests through the live threaded server
+    with micro-batching: every client gets the same answer the serial
+    handler produces."""
+    import threading
+
+    from dipole_tpu.serve import handlers
+
+    host, port, server = live_server
+    assert server.batcher is not None
+    rng = np.random.default_rng(50)
+    xyz = (make_sphere(120, seed=51)[:, :3] +
+           rng.normal(scale=0.003, size=(120, 3))).astype(np.float64)
+    want = handlers.dispatch("simple_estimate", xyz, {"diffuse": True})
+
+    outs = {}
+
+    def client(i):
+        outs[i] = protocol.request(host, port, "simple_estimate", xyz,
+                                   {"diffuse": True})
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, out in outs.items():
+        agree = ((out[:, 3:] * want[:, 3:]).sum(1) > 0).mean()
+        assert agree == 1.0, (i, agree)

@@ -1,6 +1,8 @@
 """Visualization export + analysis module tests."""
 import json
 
+import pytest
+
 import numpy as np
 
 from dipole_tpu import analysis, vis
@@ -96,3 +98,24 @@ def test_draw_field_isosurface_writes_ply(tmp_path):
     assert len(verts) > 0 and len(colors) == len(verts)
     head = path.read_bytes()[:200]
     assert b"ply" in head and b"element vertex" in head
+
+
+def test_plot_cross_section_png(tmp_path):
+    """plot_cross_section writes a non-empty PNG for the analytic sphere
+    (figure-grade analog of reference vis_field.plot_F, VERDICT r2 item 8)."""
+    pytest.importorskip("matplotlib")
+    pc = make_sphere(80, seed=7)
+    for quantity in ("potential", "field"):
+        out = tmp_path / f"slice_{quantity}.png"
+        got = vis.plot_cross_section(pc, out, quantity=quantity, n=32)
+        assert got == out and out.exists() and out.stat().st_size > 1000
+        assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_plot_isosurface_png(tmp_path):
+    pytest.importorskip("matplotlib")
+    pc = make_sphere(60, seed=8)
+    out = tmp_path / "iso.png"
+    got = vis.plot_isosurface(pc, out, res=16, levels=3)
+    assert got == out and out.exists() and out.stat().st_size > 1000
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"

@@ -123,6 +123,9 @@ def main(argv=None):
     ap.add_argument("--skip-ours", action="store_true")
     ap.add_argument("--seed", type=int, default=1,
                     help="torch.manual_seed (reference pins 1 at import)")
+    ap.add_argument("--torch_rng", action="store_true",
+                    help="run ours with --torch_rng <seed>: replay the "
+                         "reference's FPS-start stream bit-exactly")
     ap.add_argument("--out", type=Path, default=None)
     args = ap.parse_args(argv)
 
@@ -156,7 +159,7 @@ def main(argv=None):
         ours_dir = out / "ours"
         ours_dir.mkdir(exist_ok=True)
         t0 = time.perf_counter()
-        ours_op.main([
+        argv_ours = [
             "--pc", pc_path, "--export_dir", str(ours_dir),
             "--models", f"{PRE}/hands2.pt", f"{PRE}/hands.pt",
             f"{PRE}/manmade.pt",
@@ -164,7 +167,10 @@ def main(argv=None):
             "--number_parts", str(parts),
             "--minimum_points_per_patch", str(min_patch),
             "--curvature_threshold", str(curv), "--diffuse", "--weighted_prop",
-        ])
+        ]
+        if args.torch_rng:
+            argv_ours += ["--torch_rng", str(args.seed)]
+        ours_op.main(argv_ours)
         t_ours = time.perf_counter() - t0
         ours = load6(ours_dir / "final_result.xyz")
         print(f"\nours run: {t_ours:.1f}s  (speedup vs fresh ref: {t_ref/t_ours:.1f}x)")

@@ -124,6 +124,15 @@ def install() -> None:
     for name in ["open3d", "open3d.geometry", "open3d.utility", "open3d.io",
                  "open3d.visualization", "gurobipy", "pymeshlab",
                  "matplotlib", "matplotlib.pyplot"]:
+        if name.startswith("matplotlib"):
+            # stub only when genuinely absent: an empty module here would
+            # shadow the REAL matplotlib for the rest of the process (it
+            # is a baked-in dependency of vis.plot_* in this environment)
+            try:
+                __import__(name)
+                continue
+            except ImportError:
+                pass
         sys.modules.setdefault(name, types.ModuleType(name))
 
     tg = sys.modules.get("torch_geometric")

@@ -95,6 +95,45 @@ def warm_network(model_paths=None):
                                            key=jax.random.PRNGKey(0)))
 
 
+_DEMO_SHAPES = {
+    # shape -> (maker args, api call, demo flags) — EXACT demo-suite configs
+    # (demos/*.sh): make_shape is deterministic per (shape, N), so the
+    # warmed programs are bit-for-bit the ones the demo's first run needs.
+    "lion": ("lion", 180000, "large",
+             dict(iters=5, number_parts=41, minimum_points_per_patch=100,
+                  n=50)),
+    "alien": ("alien", 150000, "large",
+              dict(iters=5, number_parts=41, minimum_points_per_patch=100,
+                   curvature_threshold=0.01, estimate=True, n=50)),
+    "vase": ("vase", 80000, "patches",
+             dict(iters=5, propagation_iters=4, number_parts=25,
+                  minimum_points_per_patch=100, weighted_prop=True,
+                  estimate=True, diffuse=True)),
+}
+
+
+def warm_demos(names, model_paths):
+    """Run each demo config once on its exact synthesized cloud (results
+    discarded): the workload's size-specific panels — field programs at the
+    cloud's padded row counts, group-interaction at its rep counts, the
+    ensemble programs at its patch buckets — compile now instead of on the
+    user's first demo run (VERDICT r2 item 7)."""
+    from dipole_tpu import api
+    from tools.make_shape import SHAPES
+
+    for name in names:
+        shape, n, method, kw = _DEMO_SHAPES[name]
+        pc = SHAPES[shape](n, 0)
+
+        def run(pc=pc, method=method, kw=kw):
+            if method == "large":
+                api.orient_large(pc, models=model_paths, **kw)
+            else:
+                api.orient_patches(pc, models=model_paths, **kw)
+
+        _stage(f"demo '{name}' ({n} pts, {method})", run)
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     t0 = time.time()
@@ -105,6 +144,11 @@ def main(argv=None):
         warm_kernels()
     print("network programs:", flush=True)
     warm_network(models)
+    demos = [a.split("=", 1)[1] for a in argv if a.startswith("--demos=")]
+    if demos:
+        names = [d for arg in demos for d in arg.split(",") if d]
+        print("demo-suite shapes:", flush=True)
+        warm_demos(names, models)
     print(f"cache warm in {time.time() - t0:.0f}s total", flush=True)
 
 
