@@ -46,6 +46,9 @@ __all__ = [
     "xie_propagation_bfs_tree",
     "greedy_sign_sequence",
     "greedy_sign_sequence_batched",
+    "bfs_orders",
+    "align_and_vote",
+    "xie_in_order_batched",
 ]
 
 _HI = jax.lax.Precision.HIGHEST
@@ -660,6 +663,35 @@ def xie_propagation_bfs_tree(pts, eps: float, diffuse: bool = False,
 
     Returns (oriented_pts, flip_mask)."""
     assert times % 2 == 1 and times > 0
+
+    pts = np.asarray(pts, dtype=np.float32)
+    orders, points_weight = bfs_orders(pts, starting_point, k=k,
+                                       threshold=threshold, times=times,
+                                       use_pw=use_pw)
+
+    if mesh is not None and knn_mask <= 0 and points_weight is None:
+        from dipole_tpu.parallel.sharding import xie_in_order_sharded
+
+        flips = xie_in_order_sharded(
+            pts, orders, mesh, C=C, eps=eps, diffuse=diffuse, kernel=kernel,
+        ).T                                              # (N, T)
+    else:
+        flips = xie_propagation_in_order(
+            pts, orders, eps=eps, diffuse=diffuse, C=C, knn_mask=knn_mask,
+            points_weight=points_weight, kernel=kernel,
+        ).T                                              # (N, T)
+
+    return align_and_vote(pts, flips)
+
+
+def bfs_orders(pts, starting_point: int = 0, k: int = 10,
+               threshold: float = 0.1, times: int = 1,
+               use_pw: bool = False):
+    """The host half of the BFS-tree pipeline: thresholded kNN/EMST graph +
+    `times` BFS orders from seeded random starts (reference
+    field_utils.py:661-687). Returns (orders (T, N), points_weight|None).
+    Split out so the server can run it per-request in caller threads while
+    micro-batching the replay scans."""
     from dipole_tpu import graphs
 
     pts = np.asarray(pts, dtype=np.float32)
@@ -679,22 +711,15 @@ def xie_propagation_bfs_tree(pts, eps: float, diffuse: bool = False,
     orders = np.zeros((times, n), dtype=np.int32)
     for i in range(times):
         orders[i] = G.get_bfs_route(starting_points[i])
+    return orders, points_weight
 
-    if mesh is not None and knn_mask <= 0 and points_weight is None:
-        from dipole_tpu.parallel.sharding import xie_in_order_sharded
 
-        flips = xie_in_order_sharded(
-            pts, orders, mesh, C=C, eps=eps, diffuse=diffuse, kernel=kernel,
-        ).T                                              # (N, T)
-    else:
-        flips = xie_propagation_in_order(
-            pts, orders, eps=eps, diffuse=diffuse, C=C, knn_mask=knn_mask,
-            points_weight=points_weight, kernel=kernel,
-        ).T                                              # (N, T)
-
-    # align runs: A = pairwise disagreement counts, B = agreement counts;
-    # minimize total disagreement over per-run flips (exact enumeration)
-    T = times
+def align_and_vote(pts, flips):
+    """Align the T replayed runs (exact binary enumeration of the pairwise
+    XOR objective, replacing Gurobi) and majority-vote the flips (reference
+    field_utils.py:696-709). flips: (N, T). Returns (oriented, flip_mask)."""
+    pts = np.asarray(pts, np.float32)
+    n, times = flips.shape
     fl = flips.astype(np.int64)
     disagree = (fl[:, :, None] != fl[:, None, :]).sum(axis=0)  # (T,T)
     A = disagree.astype(np.float64)
@@ -707,3 +732,49 @@ def xie_propagation_bfs_tree(pts, eps: float, diffuse: bool = False,
     out = pts.copy()
     out[flip_mask, 3:6] *= -1
     return out, flip_mask
+
+
+@partial(jax.jit, static_argnames=("diffuse",))
+def _in_order_scan_vmapped(Is, orders, diffuse: bool):
+    return jax.vmap(lambda I, o: _in_order_scan(I, o, diffuse))(Is, orders)
+
+
+def xie_in_order_batched(pts_list, orders_list, diffuse: bool = False,
+                         C: float = 3.0, kernel: str = "xie") -> list:
+    """Replay SEVERAL independent clouds' order sets in one vmapped
+    lock-step scan — the server's tree-xie micro-batching core. Each cloud's
+    matrix is padded (exact zeros) to the shared bucket; per-cloud dummy
+    index n_i keeps padded steps inert exactly as in the single path.
+    Returns a list of (T_i, N_i) bool flip masks.
+
+    Memory: B live (nb, nb) matrices — callers chunk submissions so
+    B * nb^2 stays inside the HBM budget (serve/batching.py)."""
+    if not pts_list:
+        return []
+    if kernel not in ("xie", "dipole"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    nb = max(_bucket(len(p) + 1) for p in pts_list)
+    T = orders_list[0].shape[0]
+    Is, opads = [], []
+    for p, o in zip(pts_list, orders_list):
+        p = np.asarray(p, np.float32)
+        n = len(p)
+        if o.shape[0] != T:
+            raise ValueError("all order sets must have the same T")
+        if nb % fields.BLOCK_T == 0 and nb % fields.BLOCK_S == 0:
+            if kernel == "xie":
+                Ipad = fields.xie_interaction_matrix(p, C=C, bucket=nb)
+            else:
+                Ipad = fields.dipole_interaction_matrix(p, eps=1e-6, bucket=nb)
+        else:
+            I = (fields.xie_interaction_matrix(p, C=C) if kernel == "xie"
+                 else fields.dipole_interaction_matrix(p, eps=1e-6))
+            Ipad = jnp.zeros((nb, nb), jnp.float32).at[:n, :n].set(I)
+        Is.append(Ipad)
+        op = np.full((T, nb), n, np.int32)
+        op[:, : o.shape[1]] = np.asarray(o, np.int32)
+        opads.append(op)
+    flips = _in_order_scan_vmapped(jnp.stack(Is), jnp.asarray(np.stack(opads)),
+                                   bool(diffuse))
+    flips = np.asarray(flips)
+    return [flips[i][:, : len(p)] for i, p in enumerate(pts_list)]

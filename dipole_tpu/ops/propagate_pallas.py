@@ -26,11 +26,12 @@ __all__ = ["greedy_sign_sequence_pallas", "MAX_PALLAS_GREEDY",
            "greedy_sign_sequence_pallas_streamed", "MAX_PALLAS_STREAMED"]
 
 _SENTINEL = 1.0e6
-# Bounded by the same VMEM panel budget as fields_pallas.MAX_PALLAS_SOURCES
-# (measured there: panel layouts degrade past ~327k and fail at 524k); the
-# greedy kernel carries an extra live (1, N) accumulator + visited row, so
-# it keeps the more conservative bound.
-MAX_PALLAS_GREEDY = 262144
+# VMEM ceiling for the fully-resident kernel, MEASURED (2026-08-17): the
+# 262144 bucket is rejected by the compiler (scoped vmem 24.89M > 16M —
+# cloud planes + state + step temps), so the resident kernel stops at the
+# 131072 bucket (the 100k-class measurements); the HBM-streamed kernel
+# below takes over beyond it.
+MAX_PALLAS_GREEDY = 131072
 _NEG = -3.0e38
 _IMAX = np.int32(2**31 - 1)
 
@@ -180,23 +181,24 @@ def _greedy_streamed_kernel(scal_ref, pts_hbm, acc_ref, state_ref):
     flat = rows * M + cols
 
     def body(bufs, bsem, cur, csem):
-        crows = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 0)
-        ccols = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 1)
-        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        curlanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        currows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
         def fetch_point(c):
-            """DMA the chosen point's (48, 1) plane column; select its
-            sublane. Returns the six channel scalars."""
+            """DMA the 128-lane-aligned (48, 128) panel holding the chosen
+            point (the HBM tile is (8, 128) — single-lane slices are not
+            sliceable); select its (sublane, lane) element. Returns the six
+            channel scalars."""
             lane = c % M
+            base = (lane // 128) * 128
             dma = pltpu.make_async_copy(
-                pts_hbm.at[:, pl.ds(lane, 1)], cur, csem)
+                pts_hbm.at[:, pl.ds(base, 128)], cur, csem)
             dma.start()
             dma.wait()
-            row = c // M
-            hit8 = sub8 == row
+            hit = (currows == c // M) & (curlanes == lane - base)
 
             def pick(ch):
-                return jnp.sum(jnp.where(hit8, cur[ch * 8:(ch + 1) * 8, :], 0.0))
+                return jnp.sum(jnp.where(hit, cur[ch * 8:(ch + 1) * 8, :], 0.0))
 
             return (pick(0), pick(1), pick(2), pick(3), pick(4), pick(5))
 
@@ -280,7 +282,7 @@ def _greedy_streamed_kernel(scal_ref, pts_hbm, acc_ref, state_ref):
         body,
         bufs=pltpu.VMEM((2, 48, chunk), jnp.float32),
         bsem=pltpu.SemaphoreType.DMA((2,)),
-        cur=pltpu.VMEM((48, 1), jnp.float32),
+        cur=pltpu.VMEM((48, 128), jnp.float32),
         csem=pltpu.SemaphoreType.DMA(()),
     )
 
@@ -292,7 +294,7 @@ def _greedy_streamed_padded(planes: jnp.ndarray, scal: jnp.ndarray):
         _greedy_streamed_kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -312,7 +314,13 @@ def greedy_sign_sequence_pallas_streamed(pts, starting_point: int = 0,
     only accumulator + sign state resident. Same decision semantics."""
     pts = np.asarray(pts, np.float32)
     n = len(pts)
-    nb = _bucket(max(n, 1024))
+    if n > 65536:
+        # every padded slot costs a full (no-op) sequential step here, so
+        # bucket to 64k multiples (<=21% overhead) instead of powers of two
+        # (up to 75% at e.g. 300k); each bucket is one compile
+        nb = -(-n // 65536) * 65536
+    else:
+        nb = _bucket(max(n, 1024))
     M = nb // 8
     planes = np.zeros((48, M), np.float32)
     for ch in range(6):

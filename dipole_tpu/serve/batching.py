@@ -21,7 +21,12 @@ import time
 
 import numpy as np
 
-__all__ = ["MicroBatcher", "batched_simple_estimate"]
+__all__ = ["MicroBatcher", "batched_simple_estimate", "batched_tree_xie"]
+
+# HBM budget for one micro-batched replay: B stacked (nb, nb) f32 matrices.
+# 32768^2 entries (4.3 GB) is the proven single-request ceiling (BASELINE
+# serving notes); allow ~1.5x that for a batch.
+MAX_REPLAY_ENTRIES = int(1.5 * 32768 * 32768)
 
 
 class _Job:
@@ -114,6 +119,56 @@ def _simple_core_batch(payloads):
         if m < 0:
             o[:, 3:6] *= -1
     return out
+
+
+def _tree_xie_core_batch(payloads):
+    """Batched device core of tree_xie_propagation: payloads are
+    (pc, orders, diffuse, C); the vmapped lock-step replay runs all clouds
+    at once, chunked to the HBM budget. Alignment/vote stay per-request."""
+    from dipole_tpu.ops import propagate
+    from dipole_tpu.ops.propagate import _bucket
+
+    out = [None] * len(payloads)
+    i = 0
+    while i < len(payloads):
+        j = i
+        entries = 0
+        while j < len(payloads):
+            nb = _bucket(len(payloads[j][0]) + 1)
+            if j > i and entries + nb * nb > MAX_REPLAY_ENTRIES:
+                break
+            entries += nb * nb
+            j += 1
+        chunk = payloads[i:j]
+        flips = propagate.xie_in_order_batched(
+            [p for p, _, _, _ in chunk], [o for _, o, _, _ in chunk],
+            diffuse=chunk[0][2], C=chunk[0][3])
+        for k, f in enumerate(flips):
+            out[i + k] = f.T                              # (N, T)
+        i = j
+    return out
+
+
+def batched_tree_xie(batcher: MicroBatcher, xyz_data, config):
+    """tree_xie_propagation with the replay scans micro-batched. Host stages
+    (normal estimation, transform, EMST + BFS orders, alignment + vote +
+    sign fix) stay in the calling thread."""
+    from dipole_tpu.ops import fields, propagate
+    from dipole_tpu.ops.propagate import _bucket
+    from dipole_tpu.serve.handlers import _prep
+
+    pc, transform = _prep(xyz_data, max_nn=config["max_nn"])
+    times = int(config["times"])
+    diffuse = bool(config["diffuse"])
+    C = float(config.get("C", 3))
+    orders, _ = propagate.bfs_orders(pc, 0, times=times)
+    sig = ("tree_xie", times, diffuse, C, _bucket(len(pc) + 1))
+    flips = batcher.submit(sig, (pc, orders, diffuse, C),
+                           _tree_xie_core_batch)
+    pc, _ = propagate.align_and_vote(pc, flips)
+    if fields.measure_mean_potential(pc) < 0:
+        pc[:, 3:6] *= -1
+    return transform.inverse(pc).astype(np.float64)
 
 
 def batched_simple_estimate(batcher: MicroBatcher, xyz_data, config):

@@ -130,4 +130,9 @@ def dispatch(function_name: str, xyz_data: np.ndarray, config: dict,
         from dipole_tpu.serve.batching import batched_simple_estimate
 
         return batched_simple_estimate(batcher, xyz_data, config)
+    if batcher is not None and function_name == "tree_xie_propagation" \
+            and _MESH is None and config.get("knn_mask", -1) <= 0:
+        from dipole_tpu.serve.batching import batched_tree_xie
+
+        return batched_tree_xie(batcher, xyz_data, config)
     return HANDLERS[function_name](xyz_data, config)

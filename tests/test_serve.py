@@ -251,3 +251,35 @@ def test_server_microbatch_concurrent_requests(live_server):
     for i, out in outs.items():
         agree = ((out[:, 3:] * want[:, 3:]).sum(1) > 0).mean()
         assert agree == 1.0, (i, agree)
+
+
+def test_tree_xie_microbatch_matches_serial():
+    """Micro-batched tree_xie (vmapped lock-step replay over several clouds)
+    = the serial handler, per request, including different sizes sharing one
+    dispatch."""
+    import threading
+
+    from dipole_tpu.serve import handlers
+    from dipole_tpu.serve.batching import MicroBatcher
+
+    cfg = {"max_nn": 10, "eps": 1e-5, "diffuse": False, "times": 3}
+    clouds = [make_sphere(n, seed=n)[:, :3].astype(np.float64)
+              for n in (90, 90, 130)]
+    want = [handlers.dispatch("tree_xie_propagation", xyz, dict(cfg))
+            for xyz in clouds]
+
+    b = MicroBatcher(window_s=0.25, max_batch=8)
+    outs = {}
+
+    def client(i):
+        outs[i] = handlers.dispatch("tree_xie_propagation", clouds[i],
+                                    dict(cfg), batcher=b)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert b.jobs_run == 3
+    for i in range(3):
+        np.testing.assert_allclose(outs[i], want[i], rtol=1e-4, atol=1e-5)
