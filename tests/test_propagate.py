@@ -150,3 +150,25 @@ def test_in_order_direct_bucket_matches_dense_reference():
                     agree = (got == want).mean()
                     assert agree == 1.0, (kernel, use_mask, use_w, diffuse,
                                           agree)
+
+
+def test_xie_in_order_batched_matches_single():
+    """The vmapped multi-cloud replay (server micro-batch core) must be
+    bit-identical to per-cloud xie_propagation_in_order, including clouds of
+    different sizes padded to a shared bucket (exact-zero padding keeps every
+    step's float values unchanged)."""
+    clouds, order_sets = [], []
+    for n, seed in ((220, 40), (300, 41), (150, 42)):
+        pc, _ = scramble_signs(make_sphere(n, seed=seed), seed=seed + 100)
+        clouds.append(pc)
+        r = np.random.default_rng(seed + 200)
+        order_sets.append(np.stack([r.permutation(n) for _ in range(3)]))
+    for kernel in ("xie", "dipole"):
+        for diffuse in (False, True):
+            got = propagate.xie_in_order_batched(
+                clouds, order_sets, diffuse=diffuse, kernel=kernel)
+            for pc, orders, g in zip(clouds, order_sets, got):
+                want = propagate.xie_propagation_in_order(
+                    pc, orders, diffuse=diffuse, kernel=kernel)
+                assert g.shape == want.shape
+                assert (g == want).all(), (kernel, diffuse)
