@@ -91,10 +91,13 @@ def _greedy_kernel(pts_ref, scal_ref, acc_ref, sign_ref):
         hit = flat == c
         acc_c = jnp.sum(jnp.where(hit, acc, 0.0))
         s = jnp.where(acc_c < 0, -1.0, 1.0)
-        upd = jnp.where(live, s, 0.0)
         sign = jnp.where(hit & live, s, sign)
         visited = jnp.where(hit, 1.0, visited)
-        acc = acc + upd * column(hit)
+        # dead steps (every real point visited; only bucket padding remains)
+        # skip the O(N) column eval — power-of-two padding then costs ~3
+        # cheap passes per step instead of the full interaction column
+        acc = jax.lax.cond(live, lambda a: a + s * column(hit),
+                           lambda a: a, acc)
         return acc, sign, visited
 
     acc, sign, _ = jax.lax.fori_loop(0, M * 8 - 1, step, (acc0, sign0, visited0))
@@ -271,9 +274,15 @@ def _greedy_streamed_kernel(scal_ref, pts_hbm, acc_ref, state_ref):
             hit = flat == c
             acc_c = jnp.sum(jnp.where(hit, acc, 0.0))
             s = jnp.where(acc_c < 0, -1.0, 1.0)
-            upd = jnp.where(live, s, 0.0)
             state_ref[:] = jnp.where(hit & live, s, state)
-            sweep(fetch_point(c), upd, False)
+
+            # dead steps (only 64k-multiple bucket padding left) skip the
+            # whole point fetch + O(N) HBM sweep — padding overhead drops
+            # from a full sweep per padded slot to one masked max/min pass
+            @pl.when(live)
+            def _():
+                sweep(fetch_point(c), s, False)
+
             return 0
 
         jax.lax.fori_loop(0, M * 8 - 1, step, 0)
