@@ -413,7 +413,10 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
     m2 = int(-(-m1 * pool // 1))
     keys = jax.random.split(key, len(patches))
 
-    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    # the starts/replay path has no sharded program — keep its chunk width
+    # single-device (a mesh passed alongside starts is ignored rather than
+    # inflating the un-sharded program n_dev-fold past the compile budget)
+    n_dev = int(mesh.devices.size) if mesh is not None and starts is None else 1
     width = _forward_width(nb, pool) * n_dev
     results: list = [None] * len(patches)
     for lo in range(0, len(patches), width):

@@ -154,14 +154,23 @@ def _potential_padded(src: jnp.ndarray, tgt: jnp.ndarray):
     return jnp.where(jnp.isfinite(phi), phi, 0.0)
 
 
-def _use_pallas(n_sources: int) -> bool:
+def _pallas_enabled() -> bool:
+    """Platform/env gate alone — no size limit (each kernel family has its
+    own capacity ceiling: MAX_PALLAS_SOURCES for the field panels,
+    MAX_PALLAS_GREEDY / MAX_PALLAS_STREAMED for the greedy kernels)."""
     import os
 
     if os.environ.get("DIPOLE_TPU_NO_PALLAS"):
         return False
     from dipole_tpu.ops import fields_pallas
 
-    return fields_pallas.available() and n_sources <= fields_pallas.MAX_PALLAS_SOURCES
+    return fields_pallas.available()
+
+
+def _use_pallas(n_sources: int) -> bool:
+    from dipole_tpu.ops import fields_pallas
+
+    return _pallas_enabled() and n_sources <= fields_pallas.MAX_PALLAS_SOURCES
 
 
 def field_grad(sources, targets, eps: float = 1e-5) -> jnp.ndarray:

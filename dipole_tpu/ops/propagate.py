@@ -161,7 +161,7 @@ def greedy_sign_sequence(pts, starting_point: int = 0, eps: float = 1e-6,
         Ipad = jnp.zeros((nb, nb), jnp.float32).at[:n, :n].set(I)
         acc, sign = _greedy_scan_matrix(Ipad, jnp.int32(starting_point), valid)
         return acc[:n], sign[:n]
-    if fields._use_pallas(n):
+    if fields._pallas_enabled():
         from dipole_tpu.ops import propagate_pallas
 
         if n <= propagate_pallas.MAX_PALLAS_GREEDY:
@@ -662,7 +662,8 @@ def xie_propagation_bfs_tree(pts, eps: float, diffuse: bool = False,
     weighted variants stay single-device).
 
     Returns (oriented_pts, flip_mask)."""
-    assert times % 2 == 1 and times > 0
+    if times <= 0 or times % 2 != 1:
+        raise ValueError("times must be a positive odd number")
 
     pts = np.asarray(pts, dtype=np.float32)
     orders, points_weight = bfs_orders(pts, starting_point, k=k,

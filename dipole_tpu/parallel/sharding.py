@@ -42,6 +42,10 @@ __all__ = ["make_mesh", "field_grad_sharded", "potential_sharded",
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devs)} device(s) "
+            "are available (silently shrinking would fake the validation)")
     return Mesh(np.array(devs[:n]), (axis,))
 
 

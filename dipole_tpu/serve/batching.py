@@ -70,31 +70,39 @@ class MicroBatcher:
 
         if self.window_s > 0:
             time.sleep(self.window_s)
-        with self._lock:
-            queue = self._queues.get(sig, [])
-            jobs = queue[: self.max_batch]
-            del queue[: self.max_batch]
-            if not queue:
-                self._queues.pop(sig, None)
-        try:
-            results = runner([j.payload for j in jobs])
-            if len(results) != len(jobs):
-                raise RuntimeError(
-                    f"batch runner returned {len(results)} results for "
-                    f"{len(jobs)} jobs")
-            for j, r in zip(jobs, results):
-                j.result = r
-        except Exception as e:  # noqa: BLE001 — must release every waiter
-            for j in jobs:
-                j.error = e
-        finally:
-            for j in jobs:
-                j.event.set()
+        # The leader drains the WHOLE queue in max_batch chunks: followers
+        # beyond the first chunk (and any that join while a chunk runs) have
+        # no leader of their own and would otherwise wait forever. The
+        # signature entry is removed exactly when its queue empties, so a
+        # post-drain submit becomes a fresh leader.
+        while True:
+            with self._lock:
+                queue = self._queues.get(sig, [])
+                jobs = queue[: self.max_batch]
+                del queue[: self.max_batch]
+                if not queue:
+                    self._queues.pop(sig, None)
+            if not jobs:
+                break
+            try:
+                results = runner([j.payload for j in jobs])
+                if len(results) != len(jobs):
+                    raise RuntimeError(
+                        f"batch runner returned {len(results)} results for "
+                        f"{len(jobs)} jobs")
+                for j, r in zip(jobs, results):
+                    j.result = r
+            except Exception as e:  # noqa: BLE001 — must release every waiter
+                for j in jobs:
+                    j.error = e
+            finally:
+                for j in jobs:
+                    j.event.set()
+            with self._lock:
+                self.batches_run += 1
+                self.jobs_run += len(jobs)
         if job.error is not None:
             raise job.error
-        with self._lock:
-            self.batches_run += 1
-            self.jobs_run += len(jobs)
         return job.result
 
 
@@ -104,8 +112,14 @@ def _simple_core_batch(payloads):
     (still normalized — the caller inverts its own transform)."""
     from dipole_tpu.ops import fields, propagate
 
-    pcs = [p for p, _ in payloads]
-    results = propagate.greedy_sign_sequence_batched(pcs)
+    if len(payloads) == 1:
+        # uncontended request: use the full dispatch (matrix / Pallas
+        # resident / streamed), ~3x the vmapped on-the-fly scan
+        acc, sign = propagate.greedy_sign_sequence(payloads[0][0])
+        results = [(np.asarray(acc), np.asarray(sign))]
+    else:
+        pcs = [p for p, _ in payloads]
+        results = propagate.greedy_sign_sequence_batched(pcs)
     out = []
     for (pc, diffuse), (acc, sign) in zip(payloads, results):
         if diffuse:
@@ -157,8 +171,10 @@ def batched_tree_xie(batcher: MicroBatcher, xyz_data, config):
     from dipole_tpu.ops.propagate import _bucket
     from dipole_tpu.serve.handlers import _prep
 
-    pc, transform = _prep(xyz_data, max_nn=config["max_nn"])
     times = int(config["times"])
+    if times <= 0 or times % 2 != 1:
+        raise ValueError("times must be a positive odd number")
+    pc, transform = _prep(xyz_data, max_nn=config["max_nn"])
     diffuse = bool(config["diffuse"])
     C = float(config.get("C", 3))
     orders, _ = propagate.bfs_orders(pc, 0, times=times)

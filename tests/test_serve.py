@@ -283,3 +283,26 @@ def test_tree_xie_microbatch_matches_serial():
     assert b.jobs_run == 3
     for i in range(3):
         np.testing.assert_allclose(outs[i], want[i], rtol=1e-4, atol=1e-5)
+
+
+def test_microbatcher_drains_beyond_max_batch():
+    """Jobs beyond max_batch must not be stranded: the leader drains the
+    whole queue in chunks, so 2*max_batch+1 concurrent submits all finish."""
+    import threading
+
+    from dipole_tpu.serve.batching import MicroBatcher
+
+    b = MicroBatcher(window_s=0.1, max_batch=4)
+    results = {}
+
+    def worker(i):
+        results[i] = b.submit("sig", i, lambda ps: [p * 10 for p in ps])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(11)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads), "stranded follower"
+    assert results == {i: i * 10 for i in range(11)}
+    assert b.jobs_run == 11
