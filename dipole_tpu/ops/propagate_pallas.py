@@ -165,11 +165,21 @@ MAX_PALLAS_STREAMED = 1048576
 _STREAM_CHUNK = 2048                     # lanes per panel: (48, 2048) = 384 KB
 
 
-def _greedy_streamed_kernel(scal_ref, pts_hbm, acc_ref, state_ref):
-    """scal_ref (1, 4) f32 SMEM: [start, eps, n_real, unused] (ints exact in
-    f32 up to 2^24 >> MAX_PALLAS_STREAMED).
+def _greedy_streamed_kernel(scal_ref, pts_hbm, acc_in, state_in,
+                            acc_ref, state_ref):
+    """One SEGMENT of the streamed greedy loop (the full chain is host-driven
+    as bounded-duration launches — a single ~70 s launch at the 1M bucket
+    reproducibly kills the TPU worker, while <=40 s launches run fine).
+
+    scal_ref (1, 6) f32 SMEM: [start, eps, n_real, init_flag, nsteps, unused]
+    (ints exact in f32 up to 2^24 >> MAX_PALLAS_STREAMED).
     pts_hbm (48, M) ANY/HBM: six channel planes as in the resident kernel.
-    acc_ref (8, M) VMEM out: final accumulated interaction.
+    acc_in/state_in (ANY/HBM): the previous segment's outputs, DMA'd into
+    the VMEM out refs at segment start (HBM carry keeps the resident
+    footprint at one acc+state pair — VMEM inputs alongside the outputs
+    blow the 16M scoped budget at the 1M bucket).
+    init_flag=1 seeds state + the start point's column instead.
+    acc_ref (8, M) VMEM out: accumulated interaction so far.
     state_ref (8, M) VMEM out: 0 = unvisited, +-1 = visited with that sign
     (padding rows are parked at +2 so they are never selected)."""
     M = acc_ref.shape[1]
@@ -178,12 +188,22 @@ def _greedy_streamed_kernel(scal_ref, pts_hbm, acc_ref, state_ref):
     start = scal_ref[0, 0].astype(jnp.int32)
     eps = scal_ref[0, 1]
     n_real = scal_ref[0, 2].astype(jnp.int32)
+    init_flag = scal_ref[0, 3] > 0.5
+    nsteps = scal_ref[0, 4].astype(jnp.int32)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (8, M), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (8, M), 1)
-    flat = rows * M + cols
+    # Selection/init/update all work per (8, chunk) slice — full-width
+    # (8, M) temporaries would blow the scoped-VMEM budget at the 1M bucket
+    # (measured: 16.62M > 16M with (8, 131072) iota/mask temps), while the
+    # chunked form keeps scoped usage O(chunk) + the two (8, M) outputs.
+    crows = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 0)
+    clanes = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 1)
 
-    def body(bufs, bsem, cur, csem):
+    def flat_chunk(base):
+        """Global flat index (row * M + col) of the (8, chunk) slice whose
+        first lane is `base`."""
+        return crows * M + base + clanes
+
+    def body(bufs, bsem, cur, csem, isem):
         curlanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         currows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
@@ -258,34 +278,72 @@ def _greedy_streamed_kernel(scal_ref, pts_hbm, acc_ref, state_ref):
 
             jax.lax.fori_loop(0, K, cbody, 0)
 
-        # init: start point visited at +1, padding parked at +2, acc = its column
-        state_ref[:] = jnp.where(
-            flat == start, 1.0, jnp.where(flat >= n_real, 2.0, 0.0))
-        sweep(fetch_point(start), jnp.float32(1.0), True)
+        # continuation segments: DMA the carried-in state (HBM residents —
+        # VMEM inputs would double the resident footprint past the 16M
+        # scoped budget at the 1M bucket; measured 16.07M) into the VMEM
+        # out refs. One 2x(8, M) copy per multi-second launch: negligible.
+        @pl.when(jnp.logical_not(init_flag))
+        def _():
+            d0 = pltpu.make_async_copy(acc_in, acc_ref, isem)
+            d0.start()
+            d0.wait()
+            d1 = pltpu.make_async_copy(state_in, state_ref, isem)
+            d1.start()
+            d1.wait()
+
+        # init (first segment only): start point visited at +1, padding
+        # parked at +2, acc = the start point's column
+        @pl.when(init_flag)
+        def _():
+            def init_state(k, _):
+                sl = pl.ds(k * chunk, chunk)
+                fl = flat_chunk(k * chunk)
+                state_ref[:, sl] = jnp.where(
+                    fl == start, 1.0, jnp.where(fl >= n_real, 2.0, 0.0))
+                return 0
+
+            jax.lax.fori_loop(0, K, init_state, 0)
+            sweep(fetch_point(start), jnp.float32(1.0), True)
 
         def step(_, __):
-            acc = acc_ref[:]
-            state = state_ref[:]
-            masked = jnp.where(state != 0.0, _NEG, jnp.abs(acc))
-            m = jnp.max(masked)
-            cand = jnp.where(masked == m, flat, _IMAX)
-            c = jnp.min(cand)
+            # chunked argmax with the resident kernel's exact tie-break
+            # (min flat index among equal maxima): merge (max, min-index)
+            # per chunk
+            def sel(k, carry):
+                m, c = carry
+                sl = pl.ds(k * chunk, chunk)
+                masked = jnp.where(state_ref[:, sl] != 0.0, _NEG,
+                                   jnp.abs(acc_ref[:, sl]))
+                lm = jnp.max(masked)
+                lc = jnp.min(jnp.where(masked == lm, flat_chunk(k * chunk),
+                                       _IMAX))
+                c = jnp.where(lm > m, lc,
+                              jnp.where(lm == m, jnp.minimum(c, lc), c))
+                return jnp.maximum(m, lm), c
+
+            m, c = jax.lax.fori_loop(
+                0, K, sel, (jnp.float32(-jnp.inf), _IMAX))
             live = m > _NEG / 2
-            hit = flat == c
-            acc_c = jnp.sum(jnp.where(hit, acc, 0.0))
+            # the winner's acc value + state flip touch only its owning
+            # (8, chunk) slice
+            base = (c % M) // chunk * chunk
+            sl = pl.ds(base, chunk)
+            fl = flat_chunk(base)
+            hit = fl == c
+            acc_c = jnp.sum(jnp.where(hit, acc_ref[:, sl], 0.0))
             s = jnp.where(acc_c < 0, -1.0, 1.0)
-            state_ref[:] = jnp.where(hit & live, s, state)
+            state_ref[:, sl] = jnp.where(hit & live, s, state_ref[:, sl])
 
             # dead steps (only 64k-multiple bucket padding left) skip the
             # whole point fetch + O(N) HBM sweep — padding overhead drops
-            # from a full sweep per padded slot to one masked max/min pass
+            # from a full sweep per padded slot to one chunked max/min pass
             @pl.when(live)
             def _():
                 sweep(fetch_point(c), s, False)
 
             return 0
 
-        jax.lax.fori_loop(0, M * 8 - 1, step, 0)
+        jax.lax.fori_loop(0, nsteps, step, 0)
 
     pl.run_scoped(
         body,
@@ -293,16 +351,20 @@ def _greedy_streamed_kernel(scal_ref, pts_hbm, acc_ref, state_ref):
         bsem=pltpu.SemaphoreType.DMA((2,)),
         cur=pltpu.VMEM((48, 128), jnp.float32),
         csem=pltpu.SemaphoreType.DMA(()),
+        isem=pltpu.SemaphoreType.DMA(()),
     )
 
 
-@jax.jit
-def _greedy_streamed_padded(planes: jnp.ndarray, scal: jnp.ndarray):
+@partial(jax.jit, donate_argnums=(2, 3))
+def _greedy_streamed_padded(planes: jnp.ndarray, scal: jnp.ndarray,
+                            acc: jnp.ndarray, state: jnp.ndarray):
     M = planes.shape[1]
     return pl.pallas_call(
         _greedy_streamed_kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
@@ -314,17 +376,27 @@ def _greedy_streamed_padded(planes: jnp.ndarray, scal: jnp.ndarray):
             jax.ShapeDtypeStruct((8, M), jnp.float32),
         ),
         grid=(),
-    )(scal, planes)
+    )(scal, planes, acc, state)
+
+
+# Pair-work budget per segment launch: steps_per_launch = SEG_WORK // M,
+# i.e. each launch sweeps ~2^34 source-target pairs ≈ 9-17 s of device time
+# regardless of bucket — bounded well under the worker's launch-duration
+# tolerance (a ~70 s single launch at the 1M bucket reproducibly crashed the
+# worker; 38 s launches run fine; measured 2026-08-17).
+SEG_WORK = 2**34
 
 
 def greedy_sign_sequence_pallas_streamed(pts, starting_point: int = 0,
                                          eps: float = 1e-6):
     """(acc, sign) beyond the VMEM-resident ceiling: cloud streamed from HBM,
-    only accumulator + sign state resident. Same decision semantics."""
+    only accumulator + sign state resident; the sequential chain is driven
+    as bounded-duration segment launches with the greedy state aliased
+    in place. Same decision semantics as every other greedy path."""
     pts = np.asarray(pts, np.float32)
     n = len(pts)
     if n > 65536:
-        # every padded slot costs a full (no-op) sequential step here, so
+        # every padded slot costs a cheap (skipped-sweep) sequential step, so
         # bucket to 64k multiples (<=21% overhead) instead of powers of two
         # (up to 75% at e.g. 300k); each bucket is one compile
         nb = -(-n // 65536) * 65536
@@ -336,11 +408,22 @@ def greedy_sign_sequence_pallas_streamed(pts, starting_point: int = 0,
         col = np.full(nb, _SENTINEL if ch < 3 else 0.0, np.float32)
         col[:n] = pts[:, ch]
         planes[ch * 8:(ch + 1) * 8] = col.reshape(8, M)
-    # n_real marks padding by flat index — valid because the plane layout
-    # puts point i at (i // M, i % M), so flat >= n <=> padding row
-    scal = np.array([[float(starting_point), eps, float(n), 0.0]], np.float32)
-    acc8, state8 = _greedy_streamed_padded(jnp.asarray(planes),
-                                           jnp.asarray(scal))
+    planes = jnp.asarray(planes)
+    acc8 = jnp.zeros((8, M), jnp.float32)
+    state8 = jnp.zeros((8, M), jnp.float32)
+    total = nb - 1
+    seg = max(1, SEG_WORK // M)
+    done = 0
+    while done < total:
+        ns = min(seg, total - done)
+        # n_real marks padding by flat index — valid because the plane
+        # layout puts point i at (i // M, i % M), so flat >= n <=> padding
+        scal = np.array([[float(starting_point), eps, float(n),
+                          1.0 if done == 0 else 0.0, float(ns), 0.0]],
+                        np.float32)
+        acc8, state8 = _greedy_streamed_padded(planes, jnp.asarray(scal),
+                                               acc8, state8)
+        done += ns
     acc = np.asarray(acc8).reshape(-1)[:n]
     state = np.asarray(state8).reshape(-1)[:n]
     sign = np.where(state == -1.0, -1.0, np.where(state == 1.0, 1.0, 0.0))

@@ -84,3 +84,29 @@ def test_pallas_greedy_streamed_matches_scan_interpret():
         os.environ.pop("DIPOLE_TPU_NO_PALLAS")
     assert (np.asarray(sign_s) == sign_p).all()
     np.testing.assert_allclose(acc_p, np.asarray(acc_s), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_greedy_streamed_multisegment_interpret(monkeypatch):
+    """The segmented launch chain (bounded-duration launches with the greedy
+    state aliased in place) must produce the same decisions as one launch:
+    force tiny segments so the continuation (init_flag=0) path runs."""
+    import os
+
+    from dipole_tpu.ops import propagate, propagate_pallas
+    from tests.conftest import make_sphere, scramble_signs
+
+    pc, _ = scramble_signs(make_sphere(300, seed=21), seed=22)
+    # nb=1024, M=128 -> seg = 37*128//128... force seg ~ 37 steps -> ~28
+    # segment launches covering 1023 steps
+    monkeypatch.setattr(propagate_pallas, "SEG_WORK", 37 * 128)
+    with pltpu.force_tpu_interpret_mode():
+        acc_p, sign_p = propagate_pallas.greedy_sign_sequence_pallas_streamed(
+            pc, starting_point=3, eps=1e-6)
+    os.environ["DIPOLE_TPU_NO_PALLAS"] = "1"
+    try:
+        acc_s, sign_s = propagate.greedy_sign_sequence(
+            pc, starting_point=3, matrix_limit=0)
+    finally:
+        os.environ.pop("DIPOLE_TPU_NO_PALLAS")
+    assert (np.asarray(sign_s) == sign_p).all()
+    assert np.allclose(acc_p, np.asarray(acc_s), rtol=1e-3, atol=1e-2)
