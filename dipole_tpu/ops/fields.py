@@ -236,14 +236,19 @@ def measure_mean_potential_batched(pcs) -> np.ndarray:
         return np.zeros((0,), np.float32)
     grid = _GRID_CACHE.setdefault(10, gen_grid(10))
     rows = -(-max(len(p) for p in pcs) // BLOCK_S) * BLOCK_S
-    src = np.zeros((len(pcs), rows, 6), np.float32)
+    B = len(pcs)
+    Bp = 1                         # pow2 batch bucket: a handful of compiles
+    while Bp < B:
+        Bp *= 2
+    src = np.zeros((Bp, rows, 6), np.float32)
     src[:, :, :3] = _SENTINEL
-    for i, p in enumerate(pcs):
+    for i in range(Bp):
+        p = pcs[min(i, B - 1)]
         src[i, : len(p)] = np.asarray(p, np.float32)
     tgt = np.asarray(_prep_targets(grid))
     means = _mean_potential_vmapped(jnp.asarray(src), jnp.asarray(tgt),
                                     jnp.float32(len(grid)))
-    return np.asarray(means)
+    return np.asarray(means)[:B]
 
 
 def reference_field(ref_pc, target_pc) -> np.ndarray:

@@ -70,6 +70,14 @@ def _bucket(n: int, base: int = 256) -> int:
     return b
 
 
+def _pow2(n: int) -> int:
+    """Next power of two >= n (batch-axis bucket for the vmapped cores)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 # ---------------------------------------------------------------------------
 # Per-point greedy propagation
 # ---------------------------------------------------------------------------
@@ -201,21 +209,29 @@ def greedy_sign_sequence_batched(pts_list, starting_points=None,
     B column evals, all vectorized). Decisions per cloud are exactly the
     single-cloud on-the-fly path's (same kernel, batched carries).
 
+    The batch axis is padded to the next power of two (duplicate lanes,
+    sliced off on return) so concurrent serving compiles at most
+    log2(max_batch) programs per bucket instead of one per distinct B —
+    arrival jitter otherwise makes every wave a fresh multi-second compile.
+
     Returns a list of (acc, sign) host arrays aligned with pts_list."""
     if not pts_list:
         return []
     pts_list = [np.asarray(p, np.float32) for p in pts_list]
     B = len(pts_list)
+    Bp = _pow2(B)
     nb = _bucket(max(len(p) for p in pts_list))
-    pts_pad = np.zeros((B, nb, 6), np.float32)
+    pts_pad = np.zeros((Bp, nb, 6), np.float32)
     pts_pad[:, :, :3] = 1.0e6                    # sentinel, zero moment
-    valid = np.zeros((B, nb), bool)
-    for i, p in enumerate(pts_list):
+    valid = np.zeros((Bp, nb), bool)
+    for i in range(Bp):
+        p = pts_list[min(i, B - 1)]
         pts_pad[i, : len(p)] = p
         valid[i, : len(p)] = True
     if starting_points is None:
         starting_points = [0] * B
-    starts = np.asarray(starting_points, np.int32)
+    starts = np.asarray(
+        list(starting_points) + [starting_points[-1]] * (Bp - B), np.int32)
     acc, sign = _greedy_scan_onthefly_vmapped(
         jnp.asarray(pts_pad), jnp.asarray(starts), jnp.float32(eps),
         jnp.asarray(valid))
@@ -740,6 +756,14 @@ def _in_order_scan_vmapped(Is, orders, diffuse: bool):
     return jax.vmap(lambda I, o: _in_order_scan(I, o, diffuse))(Is, orders)
 
 
+@partial(jax.jit, donate_argnums=0)
+def _set_lane(buf, I, i):
+    """Write one cloud's matrix into lane i of the stacked batch buffer.
+    The donation makes this an in-place update — stacking B matrices never
+    holds 2x the batch in HBM (jnp.stack would)."""
+    return buf.at[i].set(I)
+
+
 def xie_in_order_batched(pts_list, orders_list, diffuse: bool = False,
                          C: float = 3.0, kernel: str = "xie") -> list:
     """Replay SEVERAL independent clouds' order sets in one vmapped
@@ -748,16 +772,25 @@ def xie_in_order_batched(pts_list, orders_list, diffuse: bool = False,
     index n_i keeps padded steps inert exactly as in the single path.
     Returns a list of (T_i, N_i) bool flip masks.
 
-    Memory: B live (nb, nb) matrices — callers chunk submissions so
-    B * nb^2 stays inside the HBM budget (serve/batching.py)."""
+    The batch axis is padded to the next power of two (filler lanes stay
+    zero matrices — every step numerically inert, results sliced off) so
+    serving compiles at most log2(max_batch) programs per bucket — see
+    greedy_sign_sequence_batched.
+
+    Memory: ONE live (pow2(B), nb, nb) buffer plus one (nb, nb) matrix in
+    flight — lanes are written via a donated in-place update, never a
+    2x-stack. Callers chunk submissions so pow2(B) * nb^2 stays inside the
+    HBM budget (serve/batching.py)."""
     if not pts_list:
         return []
     if kernel not in ("xie", "dipole"):
         raise ValueError(f"unknown kernel {kernel!r}")
     nb = max(_bucket(len(p) + 1) for p in pts_list)
     T = orders_list[0].shape[0]
-    Is, opads = [], []
-    for p, o in zip(pts_list, orders_list):
+    Bp = _pow2(len(pts_list))
+    buf = jnp.zeros((Bp, nb, nb), jnp.float32)
+    opads = []
+    for i, (p, o) in enumerate(zip(pts_list, orders_list)):
         p = np.asarray(p, np.float32)
         n = len(p)
         if o.shape[0] != T:
@@ -771,11 +804,13 @@ def xie_in_order_batched(pts_list, orders_list, diffuse: bool = False,
             I = (fields.xie_interaction_matrix(p, C=C) if kernel == "xie"
                  else fields.dipole_interaction_matrix(p, eps=1e-6))
             Ipad = jnp.zeros((nb, nb), jnp.float32).at[:n, :n].set(I)
-        Is.append(Ipad)
+        buf = _set_lane(buf, Ipad, i)
         op = np.full((T, nb), n, np.int32)
         op[:, : o.shape[1]] = np.asarray(o, np.int32)
         opads.append(op)
-    flips = _in_order_scan_vmapped(jnp.stack(Is), jnp.asarray(np.stack(opads)),
+    for _ in range(Bp - len(pts_list)):
+        opads.append(np.zeros((T, nb), np.int32))   # zero lanes: all inert
+    flips = _in_order_scan_vmapped(buf, jnp.asarray(np.stack(opads)),
                                    bool(diffuse))
     flips = np.asarray(flips)
     return [flips[i][:, : len(p)] for i, p in enumerate(pts_list)]

@@ -23,10 +23,12 @@ import numpy as np
 
 __all__ = ["MicroBatcher", "batched_simple_estimate", "batched_tree_xie"]
 
-# HBM budget for one micro-batched replay: B stacked (nb, nb) f32 matrices.
-# 32768^2 entries (4.3 GB) is the proven single-request ceiling (BASELINE
-# serving notes); allow ~1.5x that for a batch.
-MAX_REPLAY_ENTRIES = int(1.5 * 32768 * 32768)
+# HBM budget for one micro-batched replay: the (pow2(B), nb, nb) f32 lane
+# buffer (built in place via a donated lane write, so no 2x stack copy; one
+# extra (nb, nb) matrix is in flight during the build). 8 lanes at the 10k
+# bucket = 8.6 GB buffer + 1.1 GB in-flight; at the 30k bucket this admits
+# 2 lanes (12.9 GB peak, the proven serving ceiling).
+MAX_REPLAY_ENTRIES = 8 * 16384 * 16384
 
 
 class _Job:
@@ -101,6 +103,12 @@ class MicroBatcher:
             with self._lock:
                 self.batches_run += 1
                 self.jobs_run += len(jobs)
+        # The leader's own job is normally in its first chunk, but a PREVIOUS
+        # batch's leader may still be draining this sig and can pop it first
+        # (this thread then sees an empty queue and exits the loop while the
+        # other leader's runner is mid-flight). The event, not loop exit, is
+        # the completion signal.
+        job.event.wait()
         if job.error is not None:
             raise job.error
         return job.result
@@ -140,18 +148,20 @@ def _tree_xie_core_batch(payloads):
     (pc, orders, diffuse, C); the vmapped lock-step replay runs all clouds
     at once, chunked to the HBM budget. Alignment/vote stay per-request."""
     from dipole_tpu.ops import propagate
-    from dipole_tpu.ops.propagate import _bucket
+    from dipole_tpu.ops.propagate import _bucket, _pow2
 
     out = [None] * len(payloads)
     i = 0
     while i < len(payloads):
+        # the vmapped core pads the batch axis to a power of two, so budget
+        # pow2(chunk) * max_bucket^2 — the memory actually allocated
         j = i
-        entries = 0
+        nb_max = 0
         while j < len(payloads):
-            nb = _bucket(len(payloads[j][0]) + 1)
-            if j > i and entries + nb * nb > MAX_REPLAY_ENTRIES:
+            nb = max(nb_max, _bucket(len(payloads[j][0]) + 1))
+            if j > i and _pow2(j - i + 1) * nb * nb > MAX_REPLAY_ENTRIES:
                 break
-            entries += nb * nb
+            nb_max = nb
             j += 1
         chunk = payloads[i:j]
         flips = propagate.xie_in_order_batched(
@@ -182,9 +192,18 @@ def batched_tree_xie(batcher: MicroBatcher, xyz_data, config):
     flips = batcher.submit(sig, (pc, orders, diffuse, C),
                            _tree_xie_core_batch)
     pc, _ = propagate.align_and_vote(pc, flips)
-    if fields.measure_mean_potential(pc) < 0:
+    # the global sign fix is the last serialized device stage — batch it too
+    sig_m = ("meanpot", -(-len(pc) // fields.BLOCK_S) * fields.BLOCK_S)
+    mean = batcher.submit(sig_m, pc, _mean_potential_batch)
+    if mean < 0:
         pc[:, 3:6] *= -1
     return transform.inverse(pc).astype(np.float64)
+
+
+def _mean_potential_batch(payloads):
+    from dipole_tpu.ops import fields
+
+    return list(fields.measure_mean_potential_batched(payloads))
 
 
 def batched_simple_estimate(batcher: MicroBatcher, xyz_data, config):

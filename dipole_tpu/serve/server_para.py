@@ -163,6 +163,42 @@ def warmup(sizes, functions=("simple_estimate", "tree_xie_propagation"),
             except Exception as e:  # noqa: BLE001
                 log_msg(f"warmup {fn} n={n} failed: {e}", mode="warning",
                         log_dir=log_dir)
+        _warmup_batched(xyz, functions, n, log_dir)
+
+
+def _warmup_batched(xyz, functions, n, log_dir):
+    """Precompile the micro-batched cores at batch sizes 2, 4 and 8 (the
+    batch axis is pow2-padded, so these shapes cover every batch the HBM
+    chunker admits for 10k-class requests; unwarmed, the first concurrent
+    wave pays a multi-second compile per shape)."""
+    from dipole_tpu.ops import propagate
+    from dipole_tpu.serve import batching
+    from dipole_tpu.serve.handlers import _prep
+
+    pc, _ = _prep(xyz, max_nn=30)
+    for B in (2, 4, 8):
+        if "simple_estimate" in functions:
+            t0 = time.time()
+            try:
+                batching._simple_core_batch([(pc, True)] * B)
+                log_msg(f"warmup simple_estimate batch B={B} n={n}: "
+                        f"{time.time() - t0:.1f}s", mode="info",
+                        log_dir=log_dir)
+            except Exception as e:  # noqa: BLE001
+                log_msg(f"warmup simple_estimate batch B={B} failed: {e}",
+                        mode="warning", log_dir=log_dir)
+        if "tree_xie_propagation" in functions:
+            t0 = time.time()
+            try:
+                orders, _ = propagate.bfs_orders(pc, 0, times=3)
+                batching._tree_xie_core_batch([(pc, orders, True, 3.0)] * B)
+                batching._mean_potential_batch([pc] * B)
+                log_msg(f"warmup tree_xie batch B={B} n={n}: "
+                        f"{time.time() - t0:.1f}s", mode="info",
+                        log_dir=log_dir)
+            except Exception as e:  # noqa: BLE001
+                log_msg(f"warmup tree_xie batch B={B} failed: {e}",
+                        mode="warning", log_dir=log_dir)
 
 
 def main(argv=None):

@@ -280,9 +280,56 @@ def test_tree_xie_microbatch_matches_serial():
         t.start()
     for t in threads:
         t.join()
-    assert b.jobs_run == 3
+    # 3 replay jobs + 3 mean-potential sign-fix jobs, all through the batcher
+    assert b.jobs_run == 6
     for i in range(3):
         np.testing.assert_allclose(outs[i], want[i], rtol=1e-4, atol=1e-5)
+
+
+def test_microbatcher_stolen_leader_waits():
+    """A draining leader from a PREVIOUS batch may pop a new leader's job
+    while the new leader is still in its batching window; the new leader
+    must then wait for the thief's runner instead of returning its job's
+    (unset) result. Reproduces the serve-bench None results."""
+    import threading
+    import time
+
+    from dipole_tpu.serve.batching import MicroBatcher
+
+    b = MicroBatcher(window_s=0.0, max_batch=1)
+    gate1, gate2 = threading.Event(), threading.Event()
+    calls = []
+
+    def runner(payloads):
+        calls.append(list(payloads))
+        (gate1 if len(calls) == 1 else gate2).wait(5.0)
+        return [p * 10 for p in payloads]
+
+    results = {}
+
+    def submit_a():
+        results["a"] = b.submit("s", 1, runner)
+
+    def submit_b():
+        # window long enough that A (released from gate1) steals this job
+        bb = b
+        bb.window_s = 0.4
+        results["b"] = bb.submit("s", 2, runner)
+
+    ta = threading.Thread(target=submit_a)
+    ta.start()
+    time.sleep(0.1)            # A is the leader, blocked in runner on gate1
+    tb = threading.Thread(target=submit_b)
+    tb.start()
+    time.sleep(0.1)            # B appended to a fresh queue, sleeping
+    gate1.set()                # A finishes chunk [1], loops, pops B's job
+    time.sleep(0.1)
+    gate2.set()                # A's second runner call (B's job) completes
+    ta.join(5.0)
+    tb.join(5.0)
+    assert results["a"] == 10
+    assert results["b"] == 20  # pre-fix: None
+    assert calls == [[1], [2]]
 
 
 def test_microbatcher_drains_beyond_max_batch():

@@ -5,7 +5,7 @@ Starts the threaded server (serve.server_para.Server) in-process with
 tree_xie_propagation requests (10k points each, the fork's production
 workload class) and reports per-request latency + aggregate throughput.
 
-Usage: python tools/serve_bench.py [n_clients] [n_points] [rounds]
+Usage: python tools/serve_bench.py [n_clients] [n_points] [rounds] [--stream]
 """
 import socket
 import sys
@@ -18,7 +18,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from dipole_tpu.serve import protocol  # noqa: E402
-from dipole_tpu.serve.server_para import Server  # noqa: E402
+from dipole_tpu.serve.server_para import Server, warmup  # noqa: E402
 
 
 def free_port() -> int:
@@ -36,11 +36,13 @@ def cloud(n, seed):
     return (v * 0.05 + rng.normal(scale=0.002, size=(n, 3))).astype(np.float64)
 
 
-def main(n_clients=4, n_points=10000, rounds=3):
+def main(n_clients=4, n_points=10000, rounds=3, stream=False):
     port = free_port()
     server = Server(host="127.0.0.1", port=port, log_dir="/tmp/serve_bench_logs")
     threading.Thread(target=server.serve_forever, daemon=True).start()
     time.sleep(0.5)
+    # production startup path: precompile serial + micro-batched programs
+    warmup([n_points], log_dir="/tmp/serve_bench_logs")
 
     for fn, cfg in [
         ("simple_estimate", {"diffuse": True}),
@@ -68,21 +70,38 @@ def main(n_clients=4, n_points=10000, rounds=3):
             with lock:
                 lat.append(dt)
 
+        def stream_worker(cid):
+            # each client sends `rounds` requests back-to-back (production
+            # open-loop pattern: host stages of one request overlap device
+            # work of others; no cross-client barrier)
+            for r in range(rounds):
+                worker(r * n_clients + cid)
+
         t0 = time.perf_counter()
-        for r in range(rounds):
-            threads = [threading.Thread(target=worker, args=(r * n_clients + i,))
+        if stream:
+            threads = [threading.Thread(target=stream_worker, args=(i,))
                        for i in range(n_clients)]
             for t in threads:
                 t.start()
             for t in threads:
                 t.join()
+        else:
+            for r in range(rounds):
+                threads = [
+                    threading.Thread(target=worker, args=(r * n_clients + i,))
+                    for i in range(n_clients)]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
         wall = time.perf_counter() - t0
         if errors:
             raise RuntimeError(
                 f"{fn}: {len(errors)}/{rounds * n_clients} requests failed; "
                 f"first: {errors[0]!r}")
         n_req = rounds * n_clients
-        print(f"{fn}: {n_clients} concurrent x {rounds} rounds of "
+        mode = "streaming" if stream else "rounds"
+        print(f"{fn} [{mode}]: {n_clients} concurrent x {rounds} x "
               f"{n_points}-pt requests: "
               f"latency p50 {np.median(lat):.2f}s p95 "
               f"{np.percentile(lat, 95):.2f}s, "
@@ -92,5 +111,6 @@ def main(n_clients=4, n_points=10000, rounds=3):
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:4]]
-    main(*args)
+    stream = "--stream" in sys.argv[1:]
+    args = [int(a) for a in sys.argv[1:] if not a.startswith("--")][:3]
+    main(*args, stream=stream)
