@@ -55,6 +55,16 @@ BLOCK_S = 1024
 _SENTINEL = 1.0e6  # padding position; moment 0 => contributes exactly 0
 
 
+def pow2_bucket(n: int) -> int:
+    """Next power of two >= n — the batch-axis bucket shared by every
+    vmapped micro-batching core (a handful of compiled shapes instead of
+    one per distinct batch size)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 def _pad_rows(x: jnp.ndarray, block: int, fill: float = 0.0) -> jnp.ndarray:
     n = x.shape[0]
     rem = (-n) % block
@@ -237,9 +247,7 @@ def measure_mean_potential_batched(pcs) -> np.ndarray:
     grid = _GRID_CACHE.setdefault(10, gen_grid(10))
     rows = -(-max(len(p) for p in pcs) // BLOCK_S) * BLOCK_S
     B = len(pcs)
-    Bp = 1                         # pow2 batch bucket: a handful of compiles
-    while Bp < B:
-        Bp *= 2
+    Bp = pow2_bucket(B)            # pow2 batch bucket: a handful of compiles
     src = np.zeros((Bp, rows, 6), np.float32)
     src[:, :, :3] = _SENTINEL
     for i in range(Bp):

@@ -70,12 +70,8 @@ def _bucket(n: int, base: int = 256) -> int:
     return b
 
 
-def _pow2(n: int) -> int:
-    """Next power of two >= n (batch-axis bucket for the vmapped cores)."""
-    b = 1
-    while b < n:
-        b *= 2
-    return b
+# batch-axis bucket for the vmapped cores (canonical def in ops/fields.py)
+_pow2 = fields.pow2_bucket
 
 
 # ---------------------------------------------------------------------------

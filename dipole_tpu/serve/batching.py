@@ -30,6 +30,13 @@ __all__ = ["MicroBatcher", "batched_simple_estimate", "batched_tree_xie"]
 # 2 lanes (12.9 GB peak, the proven serving ceiling).
 MAX_REPLAY_ENTRIES = 8 * 16384 * 16384
 
+# One replay batch at a time: the (pow2(B), nb, nb) buffer is budgeted in
+# isolation, but leaders for DIFFERENT signatures (e.g. two C values at a
+# 30k-class bucket) would otherwise build full-budget buffers concurrently
+# and jointly overcommit HBM. Greedy/mean-potential batches are O(B*nb)
+# and need no such guard.
+_REPLAY_HBM_LOCK = threading.Lock()
+
 
 class _Job:
     __slots__ = ("payload", "result", "error", "event")
@@ -50,7 +57,7 @@ class MicroBatcher:
     calls runner([payloads]) -> [results]. Followers just wait. A runner
     exception is re-raised in every waiting thread."""
 
-    def __init__(self, window_s: float = 0.01, max_batch: int = 16):
+    def __init__(self, window_s: float = 0.01, max_batch: int = 8):
         self.window_s = float(window_s)
         self.max_batch = int(max_batch)
         self._lock = threading.Lock()
@@ -164,9 +171,10 @@ def _tree_xie_core_batch(payloads):
             nb_max = nb
             j += 1
         chunk = payloads[i:j]
-        flips = propagate.xie_in_order_batched(
-            [p for p, _, _, _ in chunk], [o for _, o, _, _ in chunk],
-            diffuse=chunk[0][2], C=chunk[0][3])
+        with _REPLAY_HBM_LOCK:
+            flips = propagate.xie_in_order_batched(
+                [p for p, _, _, _ in chunk], [o for _, o, _, _ in chunk],
+                diffuse=chunk[0][2], C=chunk[0][3])
         for k, f in enumerate(flips):
             out[i + k] = f.T                              # (N, T)
         i = j

@@ -136,7 +136,7 @@ class Server:
 
 
 def warmup(sizes, functions=("simple_estimate", "tree_xie_propagation"),
-           log_dir: str = "."):
+           log_dir: str = ".", microbatch: bool = True):
     """Precompile the hot programs for the given point-count buckets before
     serving — this backend defers compilation to first execution per process,
     so an unwarmed server would bill the first client minutes of compile."""
@@ -163,20 +163,24 @@ def warmup(sizes, functions=("simple_estimate", "tree_xie_propagation"),
             except Exception as e:  # noqa: BLE001
                 log_msg(f"warmup {fn} n={n} failed: {e}", mode="warning",
                         log_dir=log_dir)
-        _warmup_batched(xyz, functions, n, log_dir)
+        if microbatch:
+            _warmup_batched(xyz, functions, n, log_dir)
 
 
 def _warmup_batched(xyz, functions, n, log_dir):
-    """Precompile the micro-batched cores at batch sizes 2, 4 and 8 (the
-    batch axis is pow2-padded, so these shapes cover every batch the HBM
-    chunker admits for 10k-class requests; unwarmed, the first concurrent
-    wave pays a multi-second compile per shape)."""
+    """Precompile the micro-batched cores at batch sizes 1, 2, 4 and 8
+    (the batch axis is pow2-padded and MicroBatcher caps batches at 8, so
+    these shapes cover every batch serving can dispatch for 10k-class
+    requests; unwarmed, the first wave — including an uncontended B=1
+    request, which still routes through the batched cores — pays a
+    multi-second compile per shape)."""
     from dipole_tpu.ops import propagate
     from dipole_tpu.serve import batching
     from dipole_tpu.serve.handlers import _prep
 
     pc, _ = _prep(xyz, max_nn=30)
-    for B in (2, 4, 8):
+    orders, _ = propagate.bfs_orders(pc, 0, times=3)
+    for B in (1, 2, 4, 8):
         if "simple_estimate" in functions:
             t0 = time.time()
             try:
@@ -190,7 +194,6 @@ def _warmup_batched(xyz, functions, n, log_dir):
         if "tree_xie_propagation" in functions:
             t0 = time.time()
             try:
-                orders, _ = propagate.bfs_orders(pc, 0, times=3)
                 batching._tree_xie_core_batch([(pc, orders, True, 3.0)] * B)
                 batching._mean_potential_batch([pc] * B)
                 log_msg(f"warmup tree_xie batch B={B} n={n}: "
@@ -234,7 +237,7 @@ def main(argv=None):
     Path(args.log_dir).mkdir(parents=True, exist_ok=True)
     if args.warmup:
         warmup([int(x) for x in args.warmup.split(",") if x],
-               log_dir=args.log_dir)
+               log_dir=args.log_dir, microbatch=not args.no_microbatch)
     server = Server(args.host, args.port, args.max_thread,
                     log_dir=args.log_dir, microbatch=not args.no_microbatch,
                     microbatch_window_s=args.microbatch_window_ms / 1000.0)
