@@ -132,6 +132,13 @@ class Server:
                 print(f"handler threads alive: {threading.active_count()}")
 
     def stop(self):
+        if self.batcher is not None and self.batcher.jobs_run:
+            b = self.batcher
+            self._log(
+                f"micro-batching: {b.jobs_run} device jobs in "
+                f"{b.batches_run} batches "
+                f"({b.jobs_run / max(b.batches_run, 1):.2f} jobs/batch)",
+                mode="info")
         self._stop.set()
 
 
