@@ -24,8 +24,8 @@ from dipole_tpu.models.inference import ensemble_vote_patches, load_model_from_f
 from dipole_tpu.utils.io import Transform, orient_center_np
 from dipole_tpu.utils.timing import timer_factory
 
-__all__ = ["orient", "orient_simple", "orient_patches", "orient_large",
-           "transfer_orientation", "MAX_PATCH_SIZE"]
+__all__ = ["orient", "orient_simple", "orient_simple_batch", "orient_patches",
+           "orient_large", "transfer_orientation", "MAX_PATCH_SIZE"]
 
 MAX_PATCH_SIZE = 500  # representatives per patch (reference orient_large.py:14)
 
@@ -111,6 +111,47 @@ def orient_simple(points, diffuse: bool = False, estimate: bool = False,
 
     input_pc = _sign_fix(input_pc, stage_timer)
     return transform.inverse(input_pc)
+
+
+def orient_simple_batch(clouds, diffuse: bool = False, estimate: bool = False,
+                        n: int = 30) -> list:
+    """orient_simple for SEVERAL independent clouds in one device dispatch —
+    the in-memory form of the server's micro-batching (serve/batching.py):
+    the greedy orderings run as one vmapped scan and the lattice sign fixes
+    as one vmapped field eval, so B clouds cost ~one cloud's sequential
+    latency instead of B. Per-cloud results are independent of the batch
+    (each vmapped lane reads only its own cloud); a single-cloud call
+    delegates to orient_simple. Returns a list of (N_i, 6) arrays in
+    original coordinates."""
+    clouds = [np.asarray(c, dtype=np.float32) for c in clouds]
+    if not clouds:
+        return []
+    if len(clouds) == 1:
+        return [orient_simple(clouds[0], diffuse=diffuse, estimate=estimate,
+                              n=n)]
+    prepped, transforms = [], []
+    for pc in clouds:
+        if estimate or pc.shape[1] == 3:
+            pc = estimate_normals(pc, max_nn=n)
+        pc, tr = Transform.trans(pc)
+        prepped.append(pc)
+        transforms.append(tr)
+    results = propagate.greedy_sign_sequence_batched(prepped)
+    oriented = []
+    for pc, (acc, sign) in zip(prepped, results):
+        if diffuse:
+            vote = np.where(acc * sign > 0, 1.0, -1.0).astype(np.float32)
+            sign = sign * vote
+        o = pc.copy()
+        o[:, 3:6] *= sign[:, None]
+        oriented.append(o)
+    means = fields.measure_mean_potential_batched(oriented)
+    out = []
+    for o, m, tr in zip(oriented, means, transforms):
+        if m < 0:
+            o[:, 3:6] *= -1
+        out.append(tr.inverse(o))
+    return out
 
 
 def orient_patches(points, models=(), iters: int = 100,

@@ -104,3 +104,28 @@ def test_orient_hoppe_maps_n_to_neighborhood(monkeypatch):
     assert seen["_name"] == "hoppe_estimate"
     assert seen["k_neighbor"] == 12 and "max_nn" not in seen
     assert out.dtype == np.float32 and out.shape == (120, 6)
+
+
+def test_orient_simple_batch_matches_per_cloud():
+    """orient_simple_batch = per-cloud orient_simple, for mixed sizes and
+    both diffuse modes (the vmapped lanes must be independent of batch
+    composition)."""
+    clouds = []
+    for n, seed in ((260, 10), (300, 11), (180, 12)):
+        pc, _ = scramble_signs(make_sphere(n, seed=seed), seed=seed + 50)
+        clouds.append(pc)
+    for diffuse in (False, True):
+        outs = api.orient_simple_batch(clouds, diffuse=diffuse)
+        assert len(outs) == len(clouds)
+        for pc, got in zip(clouds, outs):
+            want = api.orient_simple(pc, diffuse=diffuse)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_orient_simple_batch_single_and_empty():
+    assert api.orient_simple_batch([]) == []
+    pc, _ = scramble_signs(make_sphere(200, seed=20), seed=21)
+    (out,) = api.orient_simple_batch([pc])
+    np.testing.assert_allclose(out, api.orient_simple(pc), rtol=1e-5,
+                               atol=1e-6)
