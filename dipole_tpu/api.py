@@ -160,7 +160,8 @@ def orient_patches(points, models=(), iters: int = 100,
                    curvature_threshold: float = 0.0, diffuse: bool = False,
                    weighted_prop: bool = False, estimate: bool = False,
                    n: int = 30, timer=None, mesh=None,
-                   torch_rng: int | None = None) -> np.ndarray:
+                   torch_rng: int | None = None,
+                   vote_starts: int = 1) -> np.ndarray:
     """Patch pipeline with PointCNN ensemble correction (reference
     orient_pointcloud.py:11-83): voxel patches -> curvature filter ->
     orient_center -> iterate {ensemble votes, periodic patch propagation} ->
@@ -171,7 +172,11 @@ def orient_patches(points, models=(), iters: int = 100,
     torch_rng: optional int seed — replay the torch reference's FPS-start
     randomness bit-exactly (the reference pins torch.manual_seed(1),
     orient_pointcloud.py:8; pass 1 to reproduce its runs). One MT19937
-    stream is consumed across all iterations in the reference's order."""
+    stream is consumed across all iterations in the reference's order.
+
+    vote_starts: FPS-start ensembling — each model votes this many times
+    with independent FPS starts (models/inference.ensemble_vote_patches);
+    1 = reference semantics."""
     import jax
 
     stage_timer = timer or timer_factory()
@@ -221,6 +226,7 @@ def orient_patches(points, models=(), iters: int = 100,
                 votes = ensemble_vote_patches(
                     models, [input_pc[pidx] for _, pidx in patch_indices],
                     key=sub, mesh=mesh, torch_rng=rng_stream,
+                    vote_starts=vote_starts,
                 )
                 for (_, pidx), (flip, probs) in zip(patch_indices, votes):
                     probs = probs.copy()
@@ -242,13 +248,15 @@ def orient_patches(points, models=(), iters: int = 100,
 def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
                  minimum_points_per_patch: int = 21,
                  curvature_threshold: float = 0.0, estimate: bool = False,
-                 n: int = 30, seed: int = 1, timer=None, mesh=None) -> np.ndarray:
+                 n: int = 30, seed: int = 1, timer=None, mesh=None,
+                 vote_starts: int = 1) -> np.ndarray:
     """Large clouds via <=500 representative points per patch (reference
     orient_large.py:10-90). NOTE pipeline-order parity: normals are estimated
     AFTER normalization here (the reference does the same only in this
     pipeline, orient_large.py:17-24). mesh: optional Mesh / device count /
     'auto' — ensemble forwards, the rep-interaction matrix and the rest-point
-    field pass shard over the devices (results unchanged)."""
+    field pass shard over the devices (results unchanged).
+    vote_starts: FPS-start ensembling (see orient_patches)."""
     import jax
 
     stage_timer = timer or timer_factory()
@@ -292,7 +300,8 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
         for _ in range(iters if rep_sets else 0):
             key, sub = jax.random.split(key)
             votes = ensemble_vote_patches(
-                models, [input_pc[r] for r in rep_sets], key=sub, mesh=mesh
+                models, [input_pc[r] for r in rep_sets], key=sub, mesh=mesh,
+                vote_starts=vote_starts,
             )
             for reps, (flip, probs) in zip(rep_sets, votes):
                 pc_probs[reps] = probs

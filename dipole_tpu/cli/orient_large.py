@@ -34,6 +34,7 @@ def run(opts):
         curvature_threshold=opts.curvature_threshold,
         estimate=opts.estimate_normals, n=opts.n, timer=stage_timer,
         mesh=getattr(opts, "mesh", None),
+        vote_starts=getattr(opts, "vote_starts", 1),
     )
 
     with stage_timer("export oriented cloud", count=False):

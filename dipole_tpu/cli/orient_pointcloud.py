@@ -32,6 +32,7 @@ def run(opts):
         estimate=opts.estimate_normals, n=opts.n, timer=stage_timer,
         mesh=getattr(opts, "mesh", None),
         torch_rng=getattr(opts, "torch_rng", None),
+        vote_starts=getattr(opts, "vote_starts", 1),
     )
 
     stage_timer.print_total_time()

@@ -87,7 +87,7 @@ def ensemble_vote(models, patch, key=None):
 
 
 def ensemble_vote_patches(models, patches, key=None, mesh=None,
-                          torch_rng=None):
+                          torch_rng=None, vote_starts: int = 1):
     """Ensemble-vote many ragged patches at once: patches are grouped into
     shared padded buckets and each model runs one vmapped forward per group
     (instead of len(models) * len(patches) sequential dispatches). Exact
@@ -95,12 +95,23 @@ def ensemble_vote_patches(models, patches, key=None, mesh=None,
     patch. Returns a list of (flip_mask, probs) aligned with `patches`.
     mesh: optional Mesh — the patch batch is sharded over its devices.
 
+    vote_starts: FPS-start ensembling — each model votes `vote_starts`
+    times with independent FPS start draws and the vote pool grows to
+    len(models) * vote_starts. The reference draws ONE start per model per
+    patch (pointcnn.py:68,73), which makes small ensembles start-noise
+    limited (the shipped trio swings percents on hard shapes, BASELINE.md);
+    extra starts average that noise out at vote_starts x forward cost.
+    vote_starts=1 (default) is bit-identical to the reference semantics,
+    and the s=0 draw of every model is unchanged by raising it.
+
     torch_rng: optional utils.torch_rng.TorchMT19937 — FPS starts are drawn
     from it host-side in the reference's consumption order (patch-major,
     model-inner; one randint(n) + one randint(ceil(pool*n)) per forward,
     reference orient_pointcloud.py:48 + the fps calls at pointcnn.py:68,73),
     replaying the torch pipeline's randomness bit-exactly. The stream is
-    stateful: the same generator must be passed across iterations."""
+    stateful: the same generator must be passed across iterations.
+    Incompatible with vote_starts > 1 (the replay defines one start per
+    model)."""
     import math
 
     import jax
@@ -108,6 +119,13 @@ def ensemble_vote_patches(models, patches, key=None, mesh=None,
     from dipole_tpu.models.pointcnn import _bucket, pointcnn_logits_batched
 
     patches = [np.asarray(p) for p in patches]
+    vote_starts = int(vote_starts)
+    if vote_starts < 1:
+        raise ValueError("vote_starts must be >= 1")
+    if torch_rng is not None and vote_starts != 1:
+        raise ValueError("vote_starts > 1 is incompatible with the torch_rng "
+                         "replay (the replayed stream defines exactly one "
+                         "start per model per patch)")
     if key is None:
         key = jax.random.PRNGKey(0)
     # one shared bucket for the whole call: a little padding waste buys a
@@ -132,21 +150,31 @@ def ensemble_vote_patches(models, patches, key=None, mesh=None,
         # recipe are identical each time)
         canon = [_canon_reference(p) for p in patches]
 
-    probs_per_model = [[None] * len(patches) for _ in models]
+    n_votes = len(models) * vote_starts
+    probs_per_vote = [[None] * len(patches) for _ in range(n_votes)]
     for mi, model in enumerate(models):
         mkey = _model_key(key, model, mi)
-        for b, idxs in groups.items():
-            gkey = jax.random.fold_in(mkey, b)
-            src = patches if canon is None else canon
-            outs = pointcnn_logits_batched(
-                model.params, model.pool, [src[i] for i in idxs], key=gkey,
-                bucket=b, mesh=mesh,
-                starts=None if starts is None else starts[mi][idxs],
-                precanon=canon is not None,
-            )
-            for i, logits in zip(idxs, outs):
-                probs_per_model[mi][i] = _softmax(logits)[:, 1]
+        for s in range(vote_starts):
+            # s=0 uses mkey itself so vote_starts=1 reproduces the
+            # single-start stream exactly; extra starts fold a constant
+            # above the digest/bucket ranges (digests are 31-bit, buckets
+            # small powers of two) so the streams cannot collide
+            skey = (mkey if s == 0
+                    else jax.random.fold_in(mkey, 0x9E3779B9 + s))
+            vi = mi * vote_starts + s
+            for b, idxs in groups.items():
+                gkey = jax.random.fold_in(skey, b)
+                src = patches if canon is None else canon
+                outs = pointcnn_logits_batched(
+                    model.params, model.pool, [src[i] for i in idxs],
+                    key=gkey, bucket=b, mesh=mesh,
+                    starts=None if starts is None else starts[mi][idxs],
+                    precanon=canon is not None,
+                )
+                for i, logits in zip(idxs, outs):
+                    probs_per_vote[vi][i] = _softmax(logits)[:, 1]
     results = []
     for i in range(len(patches)):
-        results.append(voting_policy([probs_per_model[m][i] for m in range(len(models))]))
+        results.append(voting_policy([probs_per_vote[v][i]
+                                      for v in range(n_votes)]))
     return results

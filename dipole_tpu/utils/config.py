@@ -33,6 +33,11 @@ def get_parser(name: str = "Base Options") -> argparse.ArgumentParser:
                         help="replay the torch reference's FPS-start RNG "
                              "bit-exactly from this seed (reference pins "
                              "torch.manual_seed(1))")
+    parser.add_argument("--vote_starts", type=int, default=1,
+                        help="FPS-start ensembling: votes per model per "
+                             "patch (1 = reference semantics; >1 averages "
+                             "out FPS-start noise at vote_starts x forward "
+                             "cost)")
     return parser
 
 
@@ -60,3 +65,4 @@ class PipelineOptions:
     estimate_normals: bool = False
     n: int = 30
     mesh: object = None
+    vote_starts: int = 1

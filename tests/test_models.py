@@ -189,3 +189,42 @@ def test_forward_width_policy():
     assert _forward_width(1024, 0.99) == 32
     assert _forward_width(65536, 0.6) == 8
     assert _forward_width(64, 0.6) == 128
+
+
+def test_ensemble_vote_starts():
+    """FPS-start ensembling: vote_starts=1 is the single-start stream;
+    vote_starts=3 triples the vote pool (valid probabilities, and its s=0
+    lanes reuse the single-start keys — the extra starts only average);
+    the torch_rng replay (one start per model by definition) rejects it."""
+    import pytest
+
+    from dipole_tpu.models.inference import ensemble_vote_patches
+    from dipole_tpu.utils.io import load_xyz, Transform
+    from dipole_tpu.utils.torch_rng import TorchMT19937
+
+    pc = load_xyz("/root/reference/data/ok.xyz")
+    pc, _ = Transform.trans(pc)
+    patches = [pc[:150], pc[150:290]]
+    models = [load_model_from_file(f"{PRE}/{n}.pt") for n in ["hands", "hands2"]]
+
+    base = ensemble_vote_patches(models, patches)
+    same = ensemble_vote_patches(models, patches, vote_starts=1)
+    for (f_a, p_a), (f_b, p_b) in zip(base, same):
+        assert (f_a == f_b).all()
+        np.testing.assert_array_equal(p_a, p_b)
+
+    multi = ensemble_vote_patches(models, patches, vote_starts=3)
+    for (flip, probs), patch in zip(multi, patches):
+        assert flip.shape == (len(patch),)
+        assert np.isfinite(probs).all()
+        assert (probs >= 0).all() and (probs <= 1).all()
+    # order invariance holds with the larger pool too
+    multi_rev = ensemble_vote_patches(models[::-1], patches, vote_starts=3)
+    for (f_a, p_a), (f_b, p_b) in zip(multi, multi_rev):
+        np.testing.assert_allclose(p_a, p_b, rtol=1e-6, atol=1e-7)
+
+    with pytest.raises(ValueError, match="vote_starts"):
+        ensemble_vote_patches(models, patches, vote_starts=2,
+                              torch_rng=TorchMT19937(1))
+    with pytest.raises(ValueError, match="vote_starts"):
+        ensemble_vote_patches(models, patches, vote_starts=0)
