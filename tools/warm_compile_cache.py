@@ -61,6 +61,25 @@ def warm_kernels():
     del jax
 
 
+def warm_serving(n=10000):
+    """The micro-batched serving cores at every batch shape the server can
+    dispatch for n-class requests (pow2 batch axes 1/2/4/8) — so even the
+    FIRST `dipole-server --warmup` start hits the persistent cache instead
+    of multi-second compiles per shape."""
+    from dipole_tpu.ops import fields, propagate
+
+    pc = _cloud(n, 3)
+    orders, _ = propagate.bfs_orders(pc, 0, times=3)
+    for B in (1, 2, 4, 8):
+        _stage(f"serving greedy batch B={B}",
+               lambda B=B: propagate.greedy_sign_sequence_batched([pc] * B))
+        _stage(f"serving replay batch B={B}",
+               lambda B=B: propagate.xie_in_order_batched(
+                   [pc] * B, [orders] * B, diffuse=True))
+        _stage(f"serving sign-fix batch B={B}",
+               lambda B=B: fields.measure_mean_potential_batched([pc] * B))
+
+
 def warm_network(model_paths=None):
     import jax
 
@@ -142,6 +161,8 @@ def main(argv=None):
     if "--network-only" not in argv:
         print("kernels:", flush=True)
         warm_kernels()
+        print("serving batch shapes:", flush=True)
+        warm_serving()
     print("network programs:", flush=True)
     warm_network(models)
     demos = [a.split("=", 1)[1] for a in argv if a.startswith("--demos=")]
