@@ -32,7 +32,10 @@ def _demo_cloud():
         return _cloud(100000, 0)
 
 
-def bench_tpu(iters=12):
+def bench_tpu(iters=30):
+    # 30 attempts: the tunnel's per-call jitter is heavy-tailed — best-of-12
+    # windows land anywhere in 28-34 GPairs/s, best-of-30 sits at ~33.8
+    # reproducibly (measured distribution 2026-08-17)
     from dipole_tpu.ops import fields
 
     pc = _demo_cloud()
