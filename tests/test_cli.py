@@ -74,3 +74,24 @@ def test_reference_orientation_cli(tmp_path):
     result = load_xyz(out_p)
     assert result.shape == (150, 6)
     assert (result[:, 5] > 0).mean() > 0.95
+
+
+def test_vote_starts_flag_parses_and_threads(tiny_cloud, tmp_path, monkeypatch):
+    """--vote_starts reaches api.orient_patches (default 1; explicit value
+    passed through)."""
+    from dipole_tpu import api
+    from dipole_tpu.cli import orient_pointcloud as op
+
+    seen = {}
+    real = api.orient_patches
+
+    def spy(*args, **kwargs):
+        seen["vote_starts"] = kwargs.get("vote_starts")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(api, "orient_patches", spy)
+    monkeypatch.setattr(op.api, "orient_patches", spy)
+    pc_path, _ = tiny_cloud
+    op.main(["--pc", str(pc_path), "--export_dir", str(tmp_path),
+             "--iters", "1", "--vote_starts", "2"])
+    assert seen["vote_starts"] == 2
