@@ -7,7 +7,7 @@ export REF=${REF:-/root/reference}
 # override so MODELS="..." ./hand.sh works
 export MODELS=${MODELS:-"$REF/pre_trained/hands2.pt $REF/pre_trained/hands.pt $REF/pre_trained/manmade.pt"}
 # 6-model mix with the first-party trained trio — measurably better on the
-# hard demos (hand 98.71% vs 98.34% GT, ok 98.56% vs 98.31%; BASELINE.md).
+# hard demos (hand 98.74% vs 98.34% GT, ok 98.56% vs 98.31%; BASELINE.md).
 # Use:  MODELS="$MODELS_MIX" ./hand.sh
 export MODELS_MIX="$MODELS $BASE_PATH/pre_trained_tpu/dipole_0.pt $BASE_PATH/pre_trained_tpu/dipole_1.pt $BASE_PATH/pre_trained_tpu/dipole_2.pt"
 export OUT=${OUT:-/tmp/dipole_tpu_demos}

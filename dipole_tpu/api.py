@@ -136,22 +136,8 @@ def orient_simple_batch(clouds, diffuse: bool = False, estimate: bool = False,
         pc, tr = Transform.trans(pc)
         prepped.append(pc)
         transforms.append(tr)
-    results = propagate.greedy_sign_sequence_batched(prepped)
-    oriented = []
-    for pc, (acc, sign) in zip(prepped, results):
-        if diffuse:
-            vote = np.where(acc * sign > 0, 1.0, -1.0).astype(np.float32)
-            sign = sign * vote
-        o = pc.copy()
-        o[:, 3:6] *= sign[:, None]
-        oriented.append(o)
-    means = fields.measure_mean_potential_batched(oriented)
-    out = []
-    for o, m, tr in zip(oriented, means, transforms):
-        if m < 0:
-            o[:, 3:6] *= -1
-        out.append(tr.inverse(o))
-    return out
+    oriented = propagate.orient_clouds_batched(prepped, diffuse=diffuse)
+    return [tr.inverse(o) for o, tr in zip(oriented, transforms)]
 
 
 def orient_patches(points, models=(), iters: int = 100,
@@ -179,6 +165,9 @@ def orient_patches(points, models=(), iters: int = 100,
     1 = reference semantics."""
     import jax
 
+    if torch_rng is not None and int(vote_starts) != 1:
+        raise ValueError("vote_starts > 1 is incompatible with torch_rng "
+                         "replay (one start per model by definition)")
     stage_timer = timer or timer_factory()
     mesh = resolve_mesh(mesh)
     rng_stream = None

@@ -225,6 +225,15 @@ def greedy_sign_sequence_batched(pts_list, starting_points=None,
     B = len(pts_list)
     Bp = _pow2(B)
     nb = _bucket(max(len(p) for p in pts_list))
+    # The vmapped scan has no Pallas twin; on the TPU backend the XLA
+    # on-the-fly scan reproducibly kills the worker at the 262144-step
+    # bucket and beyond (BASELINE.md large-N table) — fail fast and point
+    # at the per-cloud dispatch, which streams from HBM to ~1M.
+    if nb > 131072 and fields._pallas_enabled():
+        raise ValueError(
+            f"batched greedy bucket {nb} exceeds the safe scan length on "
+            "this backend; orient clouds this large one at a time "
+            "(greedy_sign_sequence dispatches to the HBM-streamed kernel)")
     pts_pad = np.zeros((Bp, nb, 6), np.float32)
     pts_pad[:, :, :3] = 1.0e6                    # sentinel, zero moment
     valid = np.zeros((Bp, nb), bool)
@@ -243,6 +252,37 @@ def greedy_sign_sequence_batched(pts_list, starting_points=None,
     sign = np.asarray(sign)
     return [(acc[i, : len(p)], sign[i, : len(p)])
             for i, p in enumerate(pts_list)]
+
+
+def orient_clouds_batched(pcs, diffuse: bool = False) -> list:
+    """Greedy-orient SEVERAL normalized clouds in one vmapped dispatch:
+    batched greedy ordering (+ the optional diffuse re-vote) and ONE
+    vmapped lattice sign fix. The shared core of serve/batching's
+    simple_estimate micro-batch and api.orient_simple_batch. A single
+    cloud takes the full serial dispatch (matrix / Pallas resident /
+    streamed — faster than the vmapped scan at B=1). Returns new oriented
+    arrays, still in normalized space."""
+    pcs = [np.asarray(p, np.float32) for p in pcs]
+    if not pcs:
+        return []
+    if len(pcs) == 1:
+        acc, sign = greedy_sign_sequence(pcs[0])
+        results = [(np.asarray(acc), np.asarray(sign))]
+    else:
+        results = greedy_sign_sequence_batched(pcs)
+    out = []
+    for pc, (acc, sign) in zip(pcs, results):
+        if diffuse:
+            vote = np.where(acc * sign > 0, 1.0, -1.0).astype(np.float32)
+            sign = sign * vote
+        o = pc.copy()
+        o[:, 3:6] *= sign[:, None]
+        out.append(o)
+    means = fields.measure_mean_potential_batched(out)
+    for o, m in zip(out, means):
+        if m < 0:
+            o[:, 3:6] *= -1
+    return out
 
 
 def strongest_field_propagation_points(pts, diffuse: bool = False,

@@ -124,30 +124,12 @@ class MicroBatcher:
 def _simple_core_batch(payloads):
     """Batched device core of simple_estimate: payloads are (pc, diffuse)
     with pc already normal-estimated and normalized; returns oriented pcs
-    (still normalized — the caller inverts its own transform)."""
-    from dipole_tpu.ops import fields, propagate
+    (still normalized — the caller inverts its own transform). diffuse is
+    constant within a batch (it is part of the signature)."""
+    from dipole_tpu.ops import propagate
 
-    if len(payloads) == 1:
-        # uncontended request: use the full dispatch (matrix / Pallas
-        # resident / streamed), ~3x the vmapped on-the-fly scan
-        acc, sign = propagate.greedy_sign_sequence(payloads[0][0])
-        results = [(np.asarray(acc), np.asarray(sign))]
-    else:
-        pcs = [p for p, _ in payloads]
-        results = propagate.greedy_sign_sequence_batched(pcs)
-    out = []
-    for (pc, diffuse), (acc, sign) in zip(payloads, results):
-        if diffuse:
-            vote = np.where(acc * sign > 0, 1.0, -1.0).astype(np.float32)
-            sign = sign * vote
-        o = pc.copy()
-        o[:, 3:6] *= sign[:, None]
-        out.append(o)
-    means = fields.measure_mean_potential_batched(out)
-    for o, m in zip(out, means):
-        if m < 0:
-            o[:, 3:6] *= -1
-    return out
+    return propagate.orient_clouds_batched([p for p, _ in payloads],
+                                           diffuse=payloads[0][1])
 
 
 def _tree_xie_core_batch(payloads):

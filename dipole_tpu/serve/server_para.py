@@ -186,7 +186,13 @@ def _warmup_batched(xyz, functions, n, log_dir):
     from dipole_tpu.serve.handlers import _prep
 
     pc, _ = _prep(xyz, max_nn=30)
-    orders, _ = propagate.bfs_orders(pc, 0, times=3)
+    orders = None
+    if "tree_xie_propagation" in functions:
+        try:
+            orders, _ = propagate.bfs_orders(pc, 0, times=3)
+        except Exception as e:  # noqa: BLE001 — warmup must not kill startup
+            log_msg(f"warmup tree_xie batch orders failed: {e}",
+                    mode="warning", log_dir=log_dir)
     for B in (1, 2, 4, 8):
         if "simple_estimate" in functions:
             t0 = time.time()
@@ -198,7 +204,7 @@ def _warmup_batched(xyz, functions, n, log_dir):
             except Exception as e:  # noqa: BLE001
                 log_msg(f"warmup simple_estimate batch B={B} failed: {e}",
                         mode="warning", log_dir=log_dir)
-        if "tree_xie_propagation" in functions:
+        if "tree_xie_propagation" in functions and orders is not None:
             t0 = time.time()
             try:
                 batching._tree_xie_core_batch([(pc, orders, True, 3.0)] * B)

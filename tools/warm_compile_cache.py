@@ -63,16 +63,20 @@ def warm_kernels():
 
 def warm_serving(n=10000):
     """The micro-batched serving cores at every batch shape the server can
-    dispatch for n-class requests (pow2 batch axes 1/2/4/8) — so even the
-    FIRST `dipole-server --warmup` start hits the persistent cache instead
-    of multi-second compiles per shape."""
+    dispatch for n-class requests (pow2 batch axes; greedy only from B=2 —
+    an uncontended request takes the serial dispatch) — so even the FIRST
+    `dipole-server --warmup` start hits the persistent cache instead of
+    multi-second compiles per shape."""
     from dipole_tpu.ops import fields, propagate
 
     pc = _cloud(n, 3)
     orders, _ = propagate.bfs_orders(pc, 0, times=3)
     for B in (1, 2, 4, 8):
-        _stage(f"serving greedy batch B={B}",
-               lambda B=B: propagate.greedy_sign_sequence_batched([pc] * B))
+        if B > 1:
+            # B=1 simple_estimate takes the serial dispatch (warmed by
+            # warm_kernels at this bucket), never the vmapped greedy
+            _stage(f"serving greedy batch B={B}",
+                   lambda B=B: propagate.greedy_sign_sequence_batched([pc] * B))
         _stage(f"serving replay batch B={B}",
                lambda B=B: propagate.xie_in_order_batched(
                    [pc] * B, [orders] * B, diffuse=True))
