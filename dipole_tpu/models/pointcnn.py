@@ -52,14 +52,26 @@ def _elu(x):
     return jax.nn.elu(x)
 
 
+def _use_pallas_knn() -> bool:
+    from dipole_tpu.ops import neighbors_pallas
+
+    return neighbors_pallas.available()
+
+
 def _knn_self(pos, k):
     """Self-inclusive kNN among the padded patch (small N: dense).
 
-    The k-step masked-argmin scan is deliberate: a stable argsort computes
-    identical selections and times marginally faster warm (180 vs 217 ms on
-    a (128, 512) batch), but inside the full vmapped forward the sort makes
-    the axon remote compile pathological (>20 min vs ~35 s; measured, then
-    reverted) — cf. the same backend's lax.top_k behavior."""
+    On TPU this is the Pallas VMEM kernel (ops/neighbors_pallas.py) —
+    bit-identical selections, one HBM pass instead of k. The k-step
+    masked-argmin scan below is the CPU/reference path; a stable argsort
+    would also compute identical selections but makes the axon remote
+    compile pathological (>20 min vs ~35 s; measured, then reverted) — cf.
+    the same backend's lax.top_k behavior."""
+    if _use_pallas_knn():
+        from dipole_tpu.ops.neighbors_pallas import knn_with_dist_pallas
+
+        idx, _ = knn_with_dist_pallas(pos, pos, k)
+        return idx
     d2 = jnp.sum((pos[None, :, :] - pos[:, None, :]) ** 2, axis=-1)
     rows = jnp.arange(pos.shape[0])
 
@@ -78,10 +90,17 @@ def _clip_bound(n: int) -> float:
     return max(64.0, 4.0 * float(n) ** 0.5)
 
 
-def _xconv(p, prefix, x, pos, K, C_in, C_out):
-    """One XConv stage (reference models/XConv.py:119-157)."""
+def _xconv(p, prefix, x, pos, K, C_in, C_out, idx=None):
+    """One XConv stage (reference models/XConv.py:119-157).
+
+    idx: optional precomputed self-kNN of `pos` with >= K columns (its first
+    K columns are bit-identical to _knn_self(pos, K): the k-step masked
+    argmin scan selects neighbors in distance-rank order, so a longer scan's
+    prefix IS the shorter scan). Stages sharing a position set pass one
+    shared scan instead of re-searching — the kNN scans are ~40% of the
+    forward's device time (tools/forward_profile.py)."""
     N = pos.shape[0]
-    idx = _knn_self(pos, K)
+    idx = _knn_self(pos, K) if idx is None else idx[:, :K]
     pos_diff = pos[idx] - pos[:, None, :]                # neighbor - center
     # canonicalized patches have diameter O(1); the only way to see a large
     # pos_diff is a pair involving a _SENTINEL padding row (when fewer than
@@ -150,19 +169,26 @@ def _random_valid_index(key, valid):
 
 def _interpolate(x, pos_src, pos_dst, k=16):
     """Inverse-squared-distance kNN interpolation (reference
-    models/pointcnn.py:95 / torch_geometric semantics)."""
-    d2 = jnp.sum((pos_src[None, :, :] - pos_dst[:, None, :]) ** 2, axis=-1)
-    rows = jnp.arange(pos_dst.shape[0])
+    models/pointcnn.py:95 / torch_geometric semantics). Same TPU/CPU split
+    as _knn_self: the Pallas kernel returns the identical (idx, d2) pairs
+    the scan would."""
+    if _use_pallas_knn():
+        from dipole_tpu.ops.neighbors_pallas import knn_with_dist_pallas
 
-    def step(dd, _):
-        j = jnp.argmin(dd, axis=1)
-        v = dd[rows, j]
-        dd = dd.at[rows, j].set(jnp.inf)
-        return dd, (j, v)
+        idx, dist2 = knn_with_dist_pallas(pos_dst, pos_src, k)
+    else:
+        d2 = jnp.sum((pos_src[None, :, :] - pos_dst[:, None, :]) ** 2, axis=-1)
+        rows = jnp.arange(pos_dst.shape[0])
 
-    _, (idx, dist2) = jax.lax.scan(step, d2, None, length=k)
-    idx = jnp.moveaxis(idx, 0, 1)
-    dist2 = jnp.moveaxis(dist2, 0, 1)
+        def step(dd, _):
+            j = jnp.argmin(dd, axis=1)
+            v = dd[rows, j]
+            dd = dd.at[rows, j].set(jnp.inf)
+            return dd, (j, v)
+
+        _, (idx, dist2) = jax.lax.scan(step, d2, None, length=k)
+        idx = jnp.moveaxis(idx, 0, 1)
+        dist2 = jnp.moveaxis(dist2, 0, 1)
     w = 1.0 / jnp.maximum(dist2, 1e-16)
     return jnp.sum(x[idx] * w[..., None], axis=1) / jnp.sum(w, axis=1, keepdims=True)
 
@@ -195,29 +221,39 @@ def _canonicalize(pc, valid):
 
 def _forward_core(p, x, pos1, valid, pool, m1: int, m2: int, s1, s2):
     """Network composition from the canonicalized input onward; s1/s2 are
-    the FPS start indices for the two pooling stages."""
+    the FPS start indices for the two pooling stages.
+
+    Each position set is kNN-searched ONCE and the scan shared by every
+    stage on that set (enc1+dec3 on pos1, enc2+dec2 on pos2,
+    enc3/enc4/dec1 on pos3): selections are bit-identical to per-stage
+    searches (see _xconv), and the widest scans are the forward's single
+    most expensive component (28+35 ms of a 227 ms (128, 512) chunk,
+    tools/forward_profile.py)."""
     # encoder (reference models/pointcnn.py:63-78)
-    x = jax.nn.relu(_xconv(p, "encoder.conv1", x, pos1, 16, 6, 32))
+    idx1 = _knn_self(pos1, 20)
+    x = jax.nn.relu(_xconv(p, "encoder.conv1", x, pos1, 16, 6, 32, idx=idx1))
 
     sel1 = _fps_masked(pos1, valid, m1, s1)
     valid2 = jnp.arange(m1) < jnp.ceil(pool * valid.sum()).astype(jnp.int32)
     x = x[sel1]
     pos2 = jnp.where(valid2[:, None], pos1[sel1], _SENTINEL)
-    x = jax.nn.relu(_xconv(p, "encoder.conv2", x, pos2, 20, 32, 64))
+    idx2 = _knn_self(pos2, 20)
+    x = jax.nn.relu(_xconv(p, "encoder.conv2", x, pos2, 20, 32, 64, idx=idx2))
 
     sel2 = _fps_masked(pos2, valid2, m2, s2)
     valid3 = jnp.arange(m2) < jnp.ceil(pool * valid2.sum()).astype(jnp.int32)
     x = x[sel2]
     pos3 = jnp.where(valid3[:, None], pos2[sel2], _SENTINEL)
-    x = jax.nn.relu(_xconv(p, "encoder.conv3", x, pos3, 20, 64, 128))
-    x = jax.nn.relu(_xconv(p, "encoder.conv4", x, pos3, 20, 128, 256))
+    idx3 = _knn_self(pos3, 20)
+    x = jax.nn.relu(_xconv(p, "encoder.conv3", x, pos3, 20, 64, 128, idx=idx3))
+    x = jax.nn.relu(_xconv(p, "encoder.conv4", x, pos3, 20, 128, 256, idx=idx3))
 
     # decoder (reference models/pointcnn.py:91-109)
-    x = jax.nn.relu(_xconv(p, "decoder.conv1", x, pos3, 20, 256, 128))
+    x = jax.nn.relu(_xconv(p, "decoder.conv1", x, pos3, 20, 256, 128, idx=idx3))
     x = _interpolate(x, pos3, pos2)
-    x = jax.nn.relu(_xconv(p, "decoder.conv2", x, pos2, 20, 128, 64))
+    x = jax.nn.relu(_xconv(p, "decoder.conv2", x, pos2, 20, 128, 64, idx=idx2))
     x = _interpolate(x, pos2, pos1)
-    x = jax.nn.relu(_xconv(p, "decoder.conv3", x, pos1, 20, 64, 32))
+    x = jax.nn.relu(_xconv(p, "decoder.conv3", x, pos1, 20, 64, 32, idx=idx1))
     return _linear(p, "decoder.lin4", x)
 
 

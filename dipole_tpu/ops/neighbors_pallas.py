@@ -1,0 +1,118 @@
+"""Pallas TPU kernel for dense masked kNN (the PointCNN forward's search core).
+
+The forward's k-step argmin scan (models/pointcnn._knn_self /_interpolate)
+re-reads its (N, N) distance matrix from HBM on every one of the k
+sequential steps — ~93 ms of a 227 ms (128, 512)-patch forward chunk
+(tools/forward_profile.py). Here the distance block lives in VMEM: one
+grid cell owns a TQ-row query block, computes its (TQ, Ns) distances once,
+and runs the same k-step masked-min selection entirely on-chip. HBM traffic
+drops from k full matrix passes to one read of the positions.
+
+Selection semantics are bit-identical to the scan on TPU hardware
+(verified on the v5e, including sentinel tie rows): distances are the same
+x²+y²+z² expression, each step picks the global min with ties broken to the
+lowest source index (jnp.argmin's rule), and the chosen lane is masked to
++inf. Sentinel-padded rows (position = 1e6) behave exactly as in the dense
+scan; wrapper padding columns sit at indices >= Ns and can never win a tie
+against the identical-coordinate sentinel rows below Ns, so out-of-range
+indices cannot escape (k << Ns for every bucket). Caveat: under CPU
+interpret mode LLVM FMA-contracts the mul+add chain, moving d² by 1 ULP,
+which can swap sub-f32-resolution ties (tests assert tie-equivalence
+there and bit-equality on TPU).
+
+Used by models/pointcnn on TPU; the scan remains the CPU/reference path.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["knn_with_dist_pallas", "available"]
+
+_SENTINEL = 1.0e6
+_IMAX = 2**31 - 1
+_TQ = 128          # query rows per grid cell
+_KP = 32           # lane-padded k (selection count k <= _KP)
+
+
+def available() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _knn_kernel(d_ref, s_ref, oi_ref, od_ref, *, k: int):
+    """d_ref (8, TQ) query planes [x,y,z,0..]; s_ref (8, Ns) source planes;
+    oi_ref (TQ, KP) int32 selected indices; od_ref (TQ, KP) f32 their d²."""
+    q = jnp.transpose(d_ref[:])                      # (TQ, 8)
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    sx, sy, sz = s_ref[0:1, :], s_ref[1:2, :], s_ref[2:3, :]
+    dx = qx - sx
+    dy = qy - sy
+    dz = qz - sz
+    d2 = dx * dx + dy * dy + dz * dz                 # (TQ, Ns) in VMEM
+    lanes = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    klanes = jax.lax.broadcasted_iota(jnp.int32, (d2.shape[0], _KP), 1)
+
+    def step(i, carry):
+        d2c, idx_acc, d2_acc = carry
+        m = jnp.min(d2c, axis=1, keepdims=True)
+        j = jnp.min(jnp.where(d2c == m, lanes, _IMAX), axis=1, keepdims=True)
+        idx_acc = jnp.where(klanes == i, j, idx_acc)
+        d2_acc = jnp.where(klanes == i, m, d2_acc)
+        d2c = jnp.where(lanes == j, jnp.inf, d2c)
+        return d2c, idx_acc, d2_acc
+
+    _, idx_acc, d2_acc = jax.lax.fori_loop(
+        0, k, step,
+        (d2, jnp.zeros((d2.shape[0], _KP), jnp.int32),
+         jnp.zeros((d2.shape[0], _KP), jnp.float32)))
+    oi_ref[:] = idx_acc
+    od_ref[:] = d2_acc
+
+
+def _planes(pos, n_pad: int):
+    """(N, 3) -> sentinel-padded (8, n_pad) channel planes."""
+    n = pos.shape[0]
+    p = jnp.full((8, n_pad), _SENTINEL, jnp.float32)
+    return jax.lax.dynamic_update_slice(
+        p, jnp.transpose(pos).astype(jnp.float32), (0, 0))
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def knn_with_dist_pallas(dst, src, k: int, interpret: bool = False):
+    """(idx, d2) of the k nearest src points per dst point — bit-identical
+    selections to the k-step argmin scan. dst (Nd, 3), src (Ns, 3);
+    returns idx (Nd, k) int32, d2 (Nd, k) f32. Positions are treated as
+    non-differentiable (they never carry parameter gradients in this
+    framework; stop_gradient keeps jax from requiring a kernel transpose)."""
+    dst = jax.lax.stop_gradient(dst)
+    src = jax.lax.stop_gradient(src)
+    nd, ns = dst.shape[0], src.shape[0]
+    ndp = -(-nd // _TQ) * _TQ
+    nsp = -(-ns // 128) * 128
+    dplanes = _planes(dst, ndp)
+    splanes = _planes(src, nsp)
+    idx, d2 = pl.pallas_call(
+        partial(_knn_kernel, k=k),
+        grid=(ndp // _TQ,),
+        in_specs=[
+            pl.BlockSpec((8, _TQ), lambda i: (0, i)),
+            pl.BlockSpec((8, nsp), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((_TQ, _KP), lambda i: (i, 0)),
+            pl.BlockSpec((_TQ, _KP), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ndp, _KP), jnp.int32),
+            jax.ShapeDtypeStruct((ndp, _KP), jnp.float32),
+        ),
+        interpret=interpret,
+    )(dplanes, splanes)
+    return idx[:nd, :k], d2[:nd, :k]

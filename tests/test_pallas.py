@@ -110,3 +110,100 @@ def test_pallas_greedy_streamed_multisegment_interpret(monkeypatch):
         os.environ.pop("DIPOLE_TPU_NO_PALLAS")
     assert (np.asarray(sign_s) == sign_p).all()
     assert np.allclose(acc_p, np.asarray(acc_s), rtol=1e-3, atol=1e-2)
+
+
+def _scan_knn_with_dist(pos_dst, pos_src, k):
+    """The reference k-step argmin scan (models/pointcnn semantics)."""
+    import jax.numpy as jnp
+
+    d2 = jnp.sum((pos_src[None, :, :] - pos_dst[:, None, :]) ** 2, axis=-1)
+    rows = jnp.arange(pos_dst.shape[0])
+
+    def step(dd, _):
+        j = jnp.argmin(dd, axis=1)
+        v = dd[rows, j]
+        dd = dd.at[rows, j].set(jnp.inf)
+        return dd, (j, v)
+
+    _, (idx, dist2) = jax.lax.scan(step, d2, None, length=k)
+    return np.moveaxis(np.asarray(idx), 0, 1), np.moveaxis(np.asarray(dist2), 0, 1)
+
+
+def _assert_knn_equivalent(idx_p, d2_p, idx_s, d2_s, ns):
+    """Selections must agree except where the two candidates are equidistant
+    to within f32 resolution. On real TPU hardware the kernel and the scan
+    are bit-identical (verified on the v5e for every shape below, including
+    the sentinel tie rows); under CPU interpret mode LLVM contracts the
+    kernel's mul+add chain into FMAs, which moves d² by 1 ULP and can swap
+    sub-ULP ties — a numerically legitimate kNN answer, asserted as such."""
+    idx_p, d2_p = np.asarray(idx_p), np.asarray(d2_p)
+    assert int(idx_p.max()) < ns                    # padding never escapes
+    # selected-distance sequences agree to f32 resolution everywhere
+    np.testing.assert_allclose(d2_p, d2_s, rtol=2e-6, atol=0)
+    diff = idx_p != idx_s
+    if diff.any():
+        # every disagreement is a tie: the scan's distances for the two
+        # competing sources differ by at most a couple of ULPs
+        assert np.allclose(d2_p[diff], d2_s[diff], rtol=2e-6)
+        assert diff.mean() < 0.02
+
+
+@pytest.mark.parametrize("nd,ns,k,nsent", [
+    (512, 512, 16, 0),       # self-kNN at the forward's bucket shape
+    (308, 308, 20, 40),      # non-128-multiple (m1) with sentinel padding rows
+    (185, 512, 16, 10),      # cross (interpolate-shaped) query/source
+    (130, 200, 20, 190),     # nearly-all-sentinel source (tiny valid patch)
+])
+def test_pallas_knn_matches_scan_interpret(nd, ns, k, nsent):
+    """The VMEM kNN kernel vs the k-step argmin scan it replaces in the
+    PointCNN forward on TPU (same d² expression, lowest-index tie-break,
+    inf masking)."""
+    from dipole_tpu.ops.neighbors_pallas import knn_with_dist_pallas
+
+    r = np.random.default_rng(nd + ns + k)
+    dst = r.normal(size=(nd, 3)).astype(np.float32)
+    src = r.normal(size=(ns, 3)).astype(np.float32)
+    if nsent:
+        src[-nsent:] = 1.0e6
+    dst[-3:] = 1.0e6
+    with pltpu.force_tpu_interpret_mode():
+        idx_p, d2_p = knn_with_dist_pallas(dst, src, k)
+    idx_s, d2_s = _scan_knn_with_dist(dst, src, k)
+    _assert_knn_equivalent(idx_p, d2_p, idx_s, d2_s, ns)
+
+
+def test_pallas_knn_vmapped_interpret():
+    """vmap over the kernel (how the batched forward reaches it)."""
+    from dipole_tpu.ops.neighbors_pallas import knn_with_dist_pallas
+
+    r = np.random.default_rng(5)
+    pos = r.normal(size=(4, 256, 3)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        idx_p, d2_p = jax.vmap(
+            lambda p: knn_with_dist_pallas(p, p, 20))(pos)
+    for b in range(4):
+        idx_s, d2_s = _scan_knn_with_dist(pos[b], pos[b], 20)
+        _assert_knn_equivalent(idx_p[b], d2_p[b], idx_s, d2_s, pos.shape[1])
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "cpu",
+    reason="bit-exactness holds on TPU hardware; interpret mode FMA-contracts")
+def test_pallas_knn_bit_exact_on_tpu():
+    """On the real chip the kernel's selections and distances are
+    bit-identical to the scan (no FMA contraction divergence) — the property
+    the forward's swap relies on for its parity story."""
+    from dipole_tpu.ops.neighbors_pallas import knn_with_dist_pallas
+
+    r = np.random.default_rng(7)
+    for nd, ns, k, nsent in [(512, 512, 16, 0), (308, 308, 20, 40),
+                             (130, 200, 20, 190)]:
+        dst = r.normal(size=(nd, 3)).astype(np.float32)
+        src = r.normal(size=(ns, 3)).astype(np.float32)
+        if nsent:
+            src[-nsent:] = 1.0e6
+        dst[-3:] = 1.0e6
+        idx_p, d2_p = knn_with_dist_pallas(dst, src, k)
+        idx_s, d2_s = _scan_knn_with_dist(dst, src, k)
+        assert np.array_equal(np.asarray(idx_p), idx_s)
+        assert np.array_equal(np.asarray(d2_p), d2_s)
