@@ -152,6 +152,25 @@ def ensemble_vote_patches(models, patches, key=None, mesh=None,
 
     n_votes = len(models) * vote_starts
     probs_per_vote = [[None] * len(patches) for _ in range(n_votes)]
+    # Pad + upload each (bucket, chunk-width) batch ONCE and share the
+    # device buffers across every model pass / vote of this call (the
+    # buffers depend only on the patch data; without this the ensemble
+    # re-uploads identical batches len(models) * vote_starts times).
+    prepared_cache: dict = {}
+
+    def _prepared_for(b, idxs, pool):
+        from dipole_tpu.models.pointcnn import (_forward_width,
+                                                prepare_patch_batches)
+
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        width = _forward_width(b, pool) * n_dev
+        ck = (b, width)
+        if ck not in prepared_cache:
+            prepared_cache[ck] = prepare_patch_batches(
+                [np.asarray(patches[i], np.float32) for i in idxs],
+                b, width, n_dev)
+        return prepared_cache[ck]
+
     for mi, model in enumerate(models):
         mkey = _model_key(key, model, mi)
         for s in range(vote_starts):
@@ -170,6 +189,8 @@ def ensemble_vote_patches(models, patches, key=None, mesh=None,
                     key=gkey, bucket=b, mesh=mesh,
                     starts=None if starts is None else starts[mi][idxs],
                     precanon=canon is not None,
+                    prepared=(None if starts is not None
+                              else _prepared_for(b, idxs, model.pool)),
                 )
                 for i, logits in zip(idxs, outs):
                     probs_per_vote[vi][i] = _softmax(logits)[:, 1]

@@ -419,9 +419,33 @@ def _forward_batched_sharded(mesh, m1: int, m2: int):
     return fn
 
 
+def prepare_patch_batches(patches, bucket: int, width: int, n_dev: int = 1):
+    """Pad patches into device-resident (pc, valid) chunk buffers ONCE.
+
+    The ensemble loop runs the same patch list through every model; without
+    this, each model pass re-pads and re-uploads identical buffers (host
+    cost + transfer paid len(models) x per iteration). Buffers depend only
+    on (patches, bucket, width, n_dev), so models sharing a chunk width
+    share one prepared list. Returns [(pc_dev, valid_dev, lo, lens), ...]."""
+    prepared = []
+    for lo in range(0, len(patches), width):
+        chunk = patches[lo:lo + width]
+        Bp = _bucket(len(chunk), base=8)
+        if n_dev > 1:
+            Bp = -(-Bp // n_dev) * n_dev  # whole rows per device
+        pc = np.zeros((Bp, bucket, 6), np.float32)
+        valid = np.zeros((Bp, bucket), bool)
+        for i, p in enumerate(chunk):
+            pc[i, : len(p)] = p
+            valid[i, : len(p)] = True
+        prepared.append((jnp.asarray(pc), jnp.asarray(valid), lo,
+                         [len(p) for p in chunk]))
+    return prepared
+
+
 def pointcnn_logits_batched(params, pool: float, patches, key=None,
                             bucket=None, mesh=None, starts=None,
-                            precanon: bool = False) -> list:
+                            precanon: bool = False, prepared=None) -> list:
     """Run the forward over many ragged patches with few compiled programs:
     patches are padded to a shared power-of-two bucket and vmapped in chunks
     of at most MAX_FORWARD_BATCH (each chunk width a power of two, so chunks
@@ -438,7 +462,12 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
 
     precanon: patches are already canonicalized (requires starts) — the
     in-jit canonicalization is skipped and padded rows get zero features /
-    sentinel positions directly."""
+    sentinel positions directly.
+
+    prepared: optional result of prepare_patch_batches(patches, bucket,
+    width, n_dev) for this call's exact bucket/width — skips the per-call
+    pad + upload (the ensemble loop shares one prepared list across all
+    models of the same chunk width). Ignored on the starts path."""
     patches = [np.asarray(p, np.float32) for p in patches]
     if not patches:
         return []
@@ -455,20 +484,16 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
     n_dev = int(mesh.devices.size) if mesh is not None and starts is None else 1
     width = _forward_width(nb, pool) * n_dev
     results: list = [None] * len(patches)
-    for lo in range(0, len(patches), width):
-        chunk = patches[lo:lo + width]
-        Bp = _bucket(len(chunk), base=8)
-        if n_dev > 1:
-            Bp = -(-Bp // n_dev) * n_dev  # whole rows per device
-        pc = np.zeros((Bp, nb, 6), np.float32)
-        valid = np.zeros((Bp, nb), bool)
-        for i, p in enumerate(chunk):
-            pc[i, : len(p)] = p
-            valid[i, : len(p)] = True
-        ck = jnp.concatenate(
-            [keys[lo:lo + len(chunk)],
-             jnp.tile(keys[lo:lo + 1], (Bp - len(chunk), 1))], axis=0)
-        if starts is not None:
+
+    if starts is not None:
+        for lo in range(0, len(patches), width):
+            chunk = patches[lo:lo + width]
+            Bp = _bucket(len(chunk), base=8)
+            pc = np.zeros((Bp, nb, 6), np.float32)
+            valid = np.zeros((Bp, nb), bool)
+            for i, p in enumerate(chunk):
+                pc[i, : len(p)] = p
+                valid[i, : len(p)] = True
             st = np.zeros((Bp, 2), np.int32)
             st[: len(chunk)] = np.asarray(starts, np.int32)[lo:lo + len(chunk)]
             if precanon:
@@ -489,19 +514,29 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
                                             jnp.asarray(st[:, 1]),
                                             jnp.float32(pool), m1, m2)
                 )
-        elif mesh is not None:
+            for i, p in enumerate(chunk):
+                results[lo + i] = out[i, : len(p)]
+        return results
+
+    if prepared is None:
+        prepared = prepare_patch_batches(patches, nb, width, n_dev)
+    assert sum(len(lens) for *_, lens in prepared) == len(patches), \
+        "prepared batches do not cover this patch list (bucket/width mismatch?)"
+    for pc_d, valid_d, lo, lens in prepared:
+        Bp = pc_d.shape[0]
+        ck = jnp.concatenate(
+            [keys[lo:lo + len(lens)],
+             jnp.tile(keys[lo:lo + 1], (Bp - len(lens), 1))], axis=0)
+        if mesh is not None:
             fwd = _forward_batched_sharded(mesh, m1, m2)
-            out = np.asarray(
-                fwd(params, jnp.asarray(pc), jnp.asarray(valid), ck,
-                    jnp.float32(pool))
-            )
+            out = np.asarray(fwd(params, pc_d, valid_d, ck, jnp.float32(pool)))
         else:
             out = np.asarray(
-                _forward_batched(params, jnp.asarray(pc), jnp.asarray(valid), ck,
+                _forward_batched(params, pc_d, valid_d, ck,
                                  jnp.float32(pool), m1, m2)
             )
-        for i, p in enumerate(chunk):
-            results[lo + i] = out[i, : len(p)]
+        for i, n in enumerate(lens):
+            results[lo + i] = out[i, :n]
     return results
 
 
