@@ -197,7 +197,9 @@ def orient_patches(points, models=(), iters: int = 100,
             input_pc[p] = orient_center_np(input_pc[p])
 
     pc_probs = np.ones(len(input_pc), dtype=np.float32)
-    key = jax.random.PRNGKey(1)
+    from dipole_tpu.models.pointcnn import derive_keys_cpu
+
+    key = derive_keys_cpu(lambda put: jax.random.PRNGKey(1))
 
     def propagate_now():
         return propagate.strongest_field_propagation_patches(
@@ -211,7 +213,8 @@ def orient_patches(points, models=(), iters: int = 100,
                 # one batched ensemble pass over all filtered patches (each
                 # forward reads only its own patch, so this is exactly the
                 # reference's sequential per-patch loop)
-                key, sub = jax.random.split(key)
+                key, sub = derive_keys_cpu(
+                    lambda put: jax.random.split(put(key)))
                 votes = ensemble_vote_patches(
                     models, [input_pc[pidx] for _, pidx in patch_indices],
                     key=sub, mesh=mesh, torch_rng=rng_stream,
@@ -280,14 +283,17 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
             represent.append((p[perm[:MAX_PATCH_SIZE]], p[perm[MAX_PATCH_SIZE:]]))
 
     pc_probs = np.ones(len(input_pc), dtype=np.float32)
-    key = jax.random.PRNGKey(1)
+    from dipole_tpu.models.pointcnn import derive_keys_cpu
+
+    key = derive_keys_cpu(lambda put: jax.random.PRNGKey(1))
 
     with stage_timer("network correction"):
         rep_sets = [represent[i][0] for i, _ in patch_indices] if models else []
         # the reference runs iters sequential re-votes per patch; the patches
         # are independent, so each round is one batched ensemble pass
         for _ in range(iters if rep_sets else 0):
-            key, sub = jax.random.split(key)
+            key, sub = derive_keys_cpu(
+                lambda put: jax.random.split(put(key)))
             votes = ensemble_vote_patches(
                 models, [input_pc[r] for r in rep_sets], key=sub, mesh=mesh,
                 vote_starts=vote_starts,

@@ -66,11 +66,16 @@ def _canon_reference(patch: np.ndarray) -> np.ndarray:
 def _model_key(key, model, index: int):
     """Per-model PRNG key folded over a content digest of the checkpoint
     (not the model-list index), so --models ordering cannot move results.
-    Falls back to the index for model objects without a digest."""
+    Falls back to the index for model objects without a digest. Derived on
+    the host CPU backend (bit-identical threefry; avoids remote-dispatch
+    rounds, see pointcnn.derive_keys_cpu)."""
     import jax
 
+    from dipole_tpu.models.pointcnn import derive_keys_cpu
+
     digest = getattr(model, "content_digest", None)
-    return jax.random.fold_in(key, digest if digest is not None else index)
+    return derive_keys_cpu(lambda put: jax.random.fold_in(
+        put(key), digest if digest is not None else index))
 
 
 def ensemble_vote(models, patch, key=None):
@@ -116,7 +121,8 @@ def ensemble_vote_patches(models, patches, key=None, mesh=None,
 
     import jax
 
-    from dipole_tpu.models.pointcnn import _bucket, pointcnn_logits_batched
+    from dipole_tpu.models.pointcnn import (_bucket, derive_keys_cpu,
+                                            pointcnn_logits_batched)
 
     patches = [np.asarray(p) for p in patches]
     vote_starts = int(vote_starts)
@@ -179,10 +185,12 @@ def ensemble_vote_patches(models, patches, key=None, mesh=None,
             # above the digest/bucket ranges (digests are 31-bit, buckets
             # small powers of two) so the streams cannot collide
             skey = (mkey if s == 0
-                    else jax.random.fold_in(mkey, 0x9E3779B9 + s))
+                    else derive_keys_cpu(lambda put: jax.random.fold_in(
+                        put(mkey), 0x9E3779B9 + s)))
             vi = mi * vote_starts + s
             for b, idxs in groups.items():
-                gkey = jax.random.fold_in(skey, b)
+                gkey = derive_keys_cpu(
+                    lambda put, sk=skey, bb=b: jax.random.fold_in(put(sk), bb))
                 src = patches if canon is None else canon
                 outs = pointcnn_logits_batched(
                     model.params, model.pool, [src[i] for i in idxs],

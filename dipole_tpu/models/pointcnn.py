@@ -341,6 +341,19 @@ def _bucket(n: int, base: int = 128) -> int:
     return b
 
 
+def derive_keys_cpu(fn):
+    """Run a PRNG-key derivation on the host CPU backend and return numpy.
+
+    threefry is platform-deterministic (bit-identical keys; asserted in
+    tests), but each fold_in/split dispatched to the remote TPU costs a
+    ~30 ms tunnel round vs ~3 ms on the local CPU backend (measured) — and
+    the ensemble loop derives a handful of keys per model pass. fn receives
+    a `put` helper that moves a key onto the CPU device."""
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        return np.asarray(fn(lambda k: jax.device_put(np.asarray(k), cpu)))
+
+
 @partial(jax.jit, static_argnames=("m1", "m2"))
 def _forward_batched(p, pc, valid, keys, pool, m1: int, m2: int):
     return jax.vmap(
@@ -476,7 +489,8 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
         key = jax.random.PRNGKey(0)
     m1 = int(-(-nb * pool // 1))
     m2 = int(-(-m1 * pool // 1))
-    keys = jax.random.split(key, len(patches))
+    keys = derive_keys_cpu(
+        lambda put: jax.random.split(put(key), len(patches)))
 
     # the starts/replay path has no sharded program — keep its chunk width
     # single-device (a mesh passed alongside starts is ignored rather than
@@ -524,9 +538,9 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
         "prepared batches do not cover this patch list (bucket/width mismatch?)"
     for pc_d, valid_d, lo, lens in prepared:
         Bp = pc_d.shape[0]
-        ck = jnp.concatenate(
+        ck = np.concatenate(
             [keys[lo:lo + len(lens)],
-             jnp.tile(keys[lo:lo + 1], (Bp - len(lens), 1))], axis=0)
+             np.tile(keys[lo:lo + 1], (Bp - len(lens), 1))], axis=0)
         if mesh is not None:
             fwd = _forward_batched_sharded(mesh, m1, m2)
             out = np.asarray(fwd(params, pc_d, valid_d, ck, jnp.float32(pool)))

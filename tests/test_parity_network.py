@@ -199,7 +199,7 @@ def test_ensemble_vote_patches_torch_rng_order(monkeypatch):
     seen = {}
 
     def fake_batched(params, pool, patches, key=None, bucket=None, mesh=None,
-                     starts=None, precanon=False):
+                     starts=None, precanon=False, prepared=None):
         seen[pool] = np.asarray(starts).copy()
         return [np.zeros((len(p), 2), np.float32) for p in patches]
 
