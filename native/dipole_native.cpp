@@ -77,11 +77,11 @@ struct KDTree {
     return id;
   }
 
-  // k nearest (squared distances), sorted ascending
-  void query(const float* q, int k, int* out_idx, float* out_d2) const {
-    // max-heap of (d2, idx)
-    std::vector<std::pair<float, int>> heap;
-    heap.reserve(k + 1);
+  // k nearest (squared distances), sorted ascending. `heap` is caller
+  // scratch (cleared here): one allocation per thread instead of per query.
+  void query(const float* q, int k, int* out_idx, float* out_d2,
+             std::vector<std::pair<float, int>>& heap) const {
+    heap.clear();
     search(0, q, k, heap);
     std::sort_heap(heap.begin(), heap.end());
     int m = (int)heap.size();
@@ -148,10 +148,19 @@ void dn_knn(const float* base, int n, const float* query, int m, int k,
   if (n <= 0 || m <= 0 || k <= 0) return;
   if (k > n) k = n;
   KDTree tree(base, n);
+  // Self-kNN (the normal-estimation hot path): walking queries in the
+  // tree's spatial order makes consecutive queries hit the same leaves, so
+  // the traversal's working set stays cache-resident (measured ~1.5x at
+  // 180k points, k=50, single-core host).
+  const bool self = (query == base && m == n);
   parallel_for(m, [&](int b, int e) {
-    for (int i = b; i < e; ++i)
-      tree.query(query + 3 * i, k, out_idx + (int64_t)i * k,
-                 out_d2 + (int64_t)i * k);
+    std::vector<std::pair<float, int>> heap;
+    heap.reserve(k + 1);
+    for (int i = b; i < e; ++i) {
+      int qi = self ? tree.order[i] : i;
+      tree.query(query + 3 * qi, k, out_idx + (int64_t)qi * k,
+                 out_d2 + (int64_t)qi * k, heap);
+    }
   });
 }
 
