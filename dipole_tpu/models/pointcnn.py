@@ -348,8 +348,13 @@ def derive_keys_cpu(fn):
     tests), but each fold_in/split dispatched to the remote TPU costs a
     ~30 ms tunnel round vs ~3 ms on the local CPU backend (measured) — and
     the ensemble loop derives a handful of keys per model pass. fn receives
-    a `put` helper that moves a key onto the CPU device."""
-    cpu = jax.local_devices(backend="cpu")[0]
+    a `put` helper that moves a key onto the CPU device. Configurations
+    without a CPU backend (e.g. JAX_PLATFORMS=tpu) fall back to the default
+    backend — same bits, just the slower dispatch."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return np.asarray(fn(lambda k: k))
     with jax.default_device(cpu):
         return np.asarray(fn(lambda k: jax.device_put(np.asarray(k), cpu)))
 
@@ -489,8 +494,6 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
         key = jax.random.PRNGKey(0)
     m1 = int(-(-nb * pool // 1))
     m2 = int(-(-m1 * pool // 1))
-    keys = derive_keys_cpu(
-        lambda put: jax.random.split(put(key), len(patches)))
 
     # the starts/replay path has no sharded program — keep its chunk width
     # single-device (a mesh passed alongside starts is ignored rather than
@@ -500,38 +503,35 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
     results: list = [None] * len(patches)
 
     if starts is not None:
-        for lo in range(0, len(patches), width):
-            chunk = patches[lo:lo + width]
-            Bp = _bucket(len(chunk), base=8)
-            pc = np.zeros((Bp, nb, 6), np.float32)
-            valid = np.zeros((Bp, nb), bool)
-            for i, p in enumerate(chunk):
-                pc[i, : len(p)] = p
-                valid[i, : len(p)] = True
+        starts = np.asarray(starts, np.int32)
+        for pc_d, valid_d, lo, lens in prepare_patch_batches(
+                patches, nb, width):
+            Bp = int(pc_d.shape[0])
             st = np.zeros((Bp, 2), np.int32)
-            st[: len(chunk)] = np.asarray(starts, np.int32)[lo:lo + len(chunk)]
+            st[: len(lens)] = starts[lo:lo + len(lens)]
             if precanon:
                 pos = np.full((Bp, nb, 3), _SENTINEL, np.float32)
-                for i, p in enumerate(chunk):
+                for i, p in enumerate(patches[lo:lo + len(lens)]):
                     pos[i, : len(p)] = p[:, :3]
                 out = np.asarray(
                     _forward_batched_precanon(
-                        params, jnp.asarray(pc), jnp.asarray(pos),
-                        jnp.asarray(valid), jnp.asarray(st[:, 0]),
+                        params, pc_d, jnp.asarray(pos),
+                        valid_d, jnp.asarray(st[:, 0]),
                         jnp.asarray(st[:, 1]), jnp.float32(pool), m1, m2)
                 )
             else:
                 out = np.asarray(
-                    _forward_batched_starts(params, jnp.asarray(pc),
-                                            jnp.asarray(valid),
+                    _forward_batched_starts(params, pc_d, valid_d,
                                             jnp.asarray(st[:, 0]),
                                             jnp.asarray(st[:, 1]),
                                             jnp.float32(pool), m1, m2)
                 )
-            for i, p in enumerate(chunk):
-                results[lo + i] = out[i, : len(p)]
+            for i, n in enumerate(lens):
+                results[lo + i] = out[i, :n]
         return results
 
+    keys = derive_keys_cpu(
+        lambda put: jax.random.split(put(key), len(patches)))
     if prepared is None:
         prepared = prepare_patch_batches(patches, nb, width, n_dev)
     assert sum(len(lens) for *_, lens in prepared) == len(patches), \

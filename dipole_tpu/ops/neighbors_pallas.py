@@ -13,9 +13,12 @@ Selection semantics are bit-identical to the scan on TPU hardware
 x²+y²+z² expression, each step picks the global min with ties broken to the
 lowest source index (jnp.argmin's rule), and the chosen lane is masked to
 +inf. Sentinel-padded rows (position = 1e6) behave exactly as in the dense
-scan; wrapper padding columns sit at indices >= Ns and can never win a tie
-against the identical-coordinate sentinel rows below Ns, so out-of-range
-indices cannot escape (k << Ns for every bucket). Caveat: under CPU
+scan; wrapper padding columns sit at indices >= Ns at strictly-farther
+coordinates (_PAD = 3e6), so they rank after every real column for every
+query and out-of-range indices cannot escape (k <= Ns is enforced; without
+the offset, a query that exhausted the caller's own sentinel rows would
+tie with identical-coordinate padding at d2 = 0 and select it where the
+scan selects far real points). Caveat: under CPU
 interpret mode LLVM FMA-contracts the mul+add chain, moving d² by 1 ULP,
 which can swap sub-f32-resolution ties (tests assert tie-equivalence
 there and bit-equality on TPU).
@@ -34,14 +37,31 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["knn_with_dist_pallas", "available"]
 
 _SENTINEL = 1.0e6
+# Wrapper padding columns get coordinates strictly beyond the caller's own
+# 1e6 sentinel rows. At 1e6 a padding column would be EXACTLY coincident
+# with sentinel rows (d2 = 0 ties), so once a query exhausted the real
+# sentinel rows it would select out-of-range padding indices where the
+# dense scan selects far real points. At 3e6 a padding column is strictly
+# farther from every possible query (sentinel or valid) than any real
+# column, so padding is selected only when k exceeds the total column
+# count — which the wrapper guards against. Real-row distances are
+# untouched, preserving bit-identical selections vs the scan.
+_PAD = 3.0e6
 _IMAX = 2**31 - 1
 _TQ = 128          # query rows per grid cell
 _KP = 32           # lane-padded k (selection count k <= _KP)
 
 
 def available() -> bool:
+    """TPU with Pallas enabled (honors the DIPOLE_TPU_NO_PALLAS kill-switch
+    that gates every other Pallas kernel; the kernel uses pallas.tpu
+    primitives, so non-TPU accelerators take the scan path)."""
+    import os
+
+    if os.environ.get("DIPOLE_TPU_NO_PALLAS"):
+        return False
     try:
-        return jax.devices()[0].platform not in ("cpu",)
+        return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
 
@@ -77,9 +97,10 @@ def _knn_kernel(d_ref, s_ref, oi_ref, od_ref, *, k: int):
 
 
 def _planes(pos, n_pad: int):
-    """(N, 3) -> sentinel-padded (8, n_pad) channel planes."""
+    """(N, 3) -> (8, n_pad) channel planes, padding columns at _PAD (strictly
+    farther than any real column from any query — see _PAD)."""
     n = pos.shape[0]
-    p = jnp.full((8, n_pad), _SENTINEL, jnp.float32)
+    p = jnp.full((8, n_pad), _PAD, jnp.float32)
     return jax.lax.dynamic_update_slice(
         p, jnp.transpose(pos).astype(jnp.float32), (0, 0))
 
@@ -91,9 +112,13 @@ def knn_with_dist_pallas(dst, src, k: int, interpret: bool = False):
     returns idx (Nd, k) int32, d2 (Nd, k) f32. Positions are treated as
     non-differentiable (they never carry parameter gradients in this
     framework; stop_gradient keeps jax from requiring a kernel transpose)."""
+    if not 0 < k <= _KP:
+        raise ValueError(f"k must be in (0, {_KP}]: {k}")
     dst = jax.lax.stop_gradient(dst)
     src = jax.lax.stop_gradient(src)
     nd, ns = dst.shape[0], src.shape[0]
+    if k > ns:
+        raise ValueError(f"k={k} exceeds the {ns} source points")
     ndp = -(-nd // _TQ) * _TQ
     nsp = -(-ns // 128) * 128
     dplanes = _planes(dst, ndp)

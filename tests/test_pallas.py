@@ -153,6 +153,10 @@ def _assert_knn_equivalent(idx_p, d2_p, idx_s, d2_s, ns):
     (308, 308, 20, 40),      # non-128-multiple (m1) with sentinel padding rows
     (185, 512, 16, 10),      # cross (interpolate-shaped) query/source
     (130, 200, 20, 190),     # nearly-all-sentinel source (tiny valid patch)
+    (308, 308, 20, 8),       # FEWER sentinel rows than k: a sentinel query
+                             # exhausts them and must fall through to real
+                             # points, never to the wrapper's padding columns
+                             # (indices >= ns) — the _PAD=3e6 offset regression
 ])
 def test_pallas_knn_matches_scan_interpret(nd, ns, k, nsent):
     """The VMEM kNN kernel vs the k-step argmin scan it replaces in the
@@ -197,7 +201,7 @@ def test_pallas_knn_bit_exact_on_tpu():
 
     r = np.random.default_rng(7)
     for nd, ns, k, nsent in [(512, 512, 16, 0), (308, 308, 20, 40),
-                             (130, 200, 20, 190)]:
+                             (130, 200, 20, 190), (308, 308, 20, 8)]:
         dst = r.normal(size=(nd, 3)).astype(np.float32)
         src = r.normal(size=(ns, 3)).astype(np.float32)
         if nsent:

@@ -82,20 +82,20 @@ def main(argv=None):
     def knn(pos, k: int):
         return jax.vmap(lambda q: pn._knn_self(q, k))(pos)
 
-    # the seven kNN/interpolation neighbor searches the forward performs
-    knn_specs = [("enc1 kNN  (nb, K=16)", pos1, 16),
-                 ("dec3 kNN  (nb, K=20)", pos1, 20)]
+    # The three shared self-kNN searches the forward performs (one K=20 scan
+    # per position set, shared by every stage on that set — the historical
+    # per-stage decomposition had seven searches; pre-optimization numbers
+    # are recorded in BASELINE.md's round-3 section).
+    knn_specs = [("pos1 kNN (nb, K=20, enc1+dec3)", pos1, 20)]
     pos2 = pos1[:, :m1]
     pos3 = pos1[:, :m2]
-    knn_specs += [("enc2 kNN  (m1, K=20)", pos2, 20),
-                  ("enc3/4+dec1 kNN 3x (m2, K=20)", pos3, 20)]
+    knn_specs += [("pos2 kNN (m1, K=20, enc2+dec2)", pos2, 20),
+                  ("pos3 kNN (m2, K=20, enc3/4+dec1)", pos3, 20)]
     t_knn = 0.0
     for label, pos, k in knn_specs:
         t = _time(lambda pos=pos, k=k: knn(pos, k))
-        mult = 3 if "3x" in label else 1
-        t_knn += mult * t
-        print(f"  {label:38s}  {t * 1e3:8.1f} ms" +
-              (f" (x{mult})" if mult > 1 else ""))
+        t_knn += t
+        print(f"  {label:38s}  {t * 1e3:8.1f} ms")
 
     @jax.jit
     def interp(x, src, dst):
