@@ -228,3 +228,26 @@ def test_ensemble_vote_starts():
                               torch_rng=TorchMT19937(1))
     with pytest.raises(ValueError, match="vote_starts"):
         ensemble_vote_patches(models, patches, vote_starts=0)
+
+
+def test_derive_keys_cpu_matches_default_and_falls_back(monkeypatch):
+    """CPU-derived keys are bit-identical to default-backend derivation
+    (threefry is platform-deterministic), and configurations without a CPU
+    backend fall back to the default backend instead of crashing."""
+    import jax
+
+    from dipole_tpu.models import pointcnn
+
+    key = jax.random.PRNGKey(42)
+    want = np.asarray(jax.random.split(jax.random.fold_in(key, 7), 5))
+    got = pointcnn.derive_keys_cpu(
+        lambda put: jax.random.split(jax.random.fold_in(put(key), 7), 5))
+    assert np.array_equal(got, want)
+
+    def no_cpu(*a, **k):
+        raise RuntimeError("no cpu backend")
+
+    monkeypatch.setattr(jax, "local_devices", no_cpu)
+    got2 = pointcnn.derive_keys_cpu(
+        lambda put: jax.random.split(jax.random.fold_in(put(key), 7), 5))
+    assert np.array_equal(got2, want)
