@@ -30,8 +30,14 @@ def log_msg(msg: str, mode: str = "error", log_dir: str = ".") -> None:
     now = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
     color = _COLORS.get(mode, _COLORS["info"])
     print(f"{color}{msg}\033[0m")
-    with open(Path(log_dir) / f"{mode}.log", "a") as f:
-        f.write(f"{now} {msg}\n")
+    # logging must never take down the server or a warmup (callers pass
+    # log_dirs that may not exist yet when not routed through main())
+    try:
+        Path(log_dir).mkdir(parents=True, exist_ok=True)
+        with open(Path(log_dir) / f"{mode}.log", "a") as f:
+            f.write(f"{now} {msg}\n")
+    except OSError:
+        pass
 
 
 class AdmissionControl:
