@@ -211,3 +211,40 @@ def test_pallas_knn_bit_exact_on_tpu():
         idx_s, d2_s = _scan_knn_with_dist(dst, src, k)
         assert np.array_equal(np.asarray(idx_p), idx_s)
         assert np.array_equal(np.asarray(d2_p), d2_s)
+
+
+def test_forward_pallas_knn_wiring_interpret(monkeypatch):
+    """Run the FULL PointCNN forward with the Pallas kNN branch forced on
+    (interpret mode) and compare logits against the scan branch — covers the
+    idx/d2 plumbing, the shared-scan prefixes and the interpolate swap on
+    CPU CI, where available() would otherwise keep the kernel branch dead.
+    Tolerance-based: interpret-mode FMA contraction may swap sub-ULP
+    neighbor ties (see the kNN tests above)."""
+    import jax.numpy as jnp
+
+    from dipole_tpu import train
+    from dipole_tpu.models import pointcnn
+
+    params = train.init_params(jax.random.PRNGKey(0))
+    r = np.random.default_rng(3)
+    nb, pool = 128, 0.6
+    m1 = int(-(-nb * pool // 1))
+    m2 = int(-(-m1 * pool // 1))
+    pc = jnp.asarray(r.normal(size=(nb, 6)).astype(np.float32))
+    valid = jnp.asarray(np.arange(nb) < 100)
+    key = jax.random.PRNGKey(5)
+
+    lg_scan = np.asarray(pointcnn._forward(
+        params, pc, valid, key, jnp.float32(pool), m1, m2))
+
+    monkeypatch.setattr(pointcnn, "_use_pallas_knn", lambda: True)
+    pointcnn._forward._clear_cache()
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            lg_pal = np.asarray(pointcnn._forward(
+                params, pc, valid, key, jnp.float32(pool), m1, m2))
+    finally:
+        pointcnn._forward._clear_cache()
+
+    np.testing.assert_allclose(lg_pal[:100], lg_scan[:100], rtol=1e-3,
+                               atol=1e-4)
