@@ -58,6 +58,24 @@ def _use_pallas_knn() -> bool:
     return neighbors_pallas.available()
 
 
+def _gather_rows(x, idx):
+    """x[idx] for integer idx (..., k) over rows of x (N, C).
+
+    On TPU the gather runs as a one-hot matmul on the MXU: measured 8.6 ->
+    1.7 ms for a (128, 512, 20, 64) batched gather and BIT-EXACT at HIGHEST
+    precision (each output is one x value * 1.0 plus exact zeros; the
+    bf16-decomposition passes reconstruct f32 exactly) — XLA fuses the
+    one-hot into the matmul, so the (..., N) selection matrix is never
+    materialized. Neighbor/pooling gathers dominate the forward's conv
+    stages (tools/forward_profile.py), so this is the single largest win
+    after the kNN kernel. CPU keeps the native gather (same bits; dense
+    one-hot flops are a loss without an MXU)."""
+    if _use_pallas_knn():
+        P = jax.nn.one_hot(idx, x.shape[0], dtype=x.dtype)
+        return jnp.einsum("...j,jc->...c", P, x, precision=_HI)
+    return x[idx]
+
+
 def _knn_self(pos, k):
     """Self-inclusive kNN among the padded patch (small N: dense).
 
@@ -101,7 +119,7 @@ def _xconv(p, prefix, x, pos, K, C_in, C_out, idx=None):
     forward's device time (tools/forward_profile.py)."""
     N = pos.shape[0]
     idx = _knn_self(pos, K) if idx is None else idx[:, :K]
-    pos_diff = pos[idx] - pos[:, None, :]                # neighbor - center
+    pos_diff = _gather_rows(pos, idx) - pos[:, None, :]  # neighbor - center
     # canonicalized patches have diameter O(1); the only way to see a large
     # pos_diff is a pair involving a _SENTINEL padding row (when fewer than
     # K same-kind rows exist). Unclamped, that 1e6 feeds the X-transform and
@@ -117,7 +135,7 @@ def _xconv(p, prefix, x, pos, K, C_in, C_out, idx=None):
         h = _elu(_linear(p, f"{prefix}.mlp1.3", h))
         x_knn = h.reshape(N, K, -1)
     else:
-        x_knn = x[idx]                                   # (N, K, C_in)
+        x_knn = _gather_rows(x, idx)                     # (N, K, C_in)
 
     # X-transform: Linear(3K -> K^2), two grouped "conv" stages (each a
     # per-group K->K linear), producing the (K, K) transform per point
@@ -190,7 +208,8 @@ def _interpolate(x, pos_src, pos_dst, k=16):
         idx = jnp.moveaxis(idx, 0, 1)
         dist2 = jnp.moveaxis(dist2, 0, 1)
     w = 1.0 / jnp.maximum(dist2, 1e-16)
-    return jnp.sum(x[idx] * w[..., None], axis=1) / jnp.sum(w, axis=1, keepdims=True)
+    xk = _gather_rows(x, idx)
+    return jnp.sum(xk * w[..., None], axis=1) / jnp.sum(w, axis=1, keepdims=True)
 
 
 def _canonicalize(pc, valid):
@@ -235,15 +254,15 @@ def _forward_core(p, x, pos1, valid, pool, m1: int, m2: int, s1, s2):
 
     sel1 = _fps_masked(pos1, valid, m1, s1)
     valid2 = jnp.arange(m1) < jnp.ceil(pool * valid.sum()).astype(jnp.int32)
-    x = x[sel1]
-    pos2 = jnp.where(valid2[:, None], pos1[sel1], _SENTINEL)
+    x = _gather_rows(x, sel1)
+    pos2 = jnp.where(valid2[:, None], _gather_rows(pos1, sel1), _SENTINEL)
     idx2 = _knn_self(pos2, 20)
     x = jax.nn.relu(_xconv(p, "encoder.conv2", x, pos2, 20, 32, 64, idx=idx2))
 
     sel2 = _fps_masked(pos2, valid2, m2, s2)
     valid3 = jnp.arange(m2) < jnp.ceil(pool * valid2.sum()).astype(jnp.int32)
-    x = x[sel2]
-    pos3 = jnp.where(valid3[:, None], pos2[sel2], _SENTINEL)
+    x = _gather_rows(x, sel2)
+    pos3 = jnp.where(valid3[:, None], _gather_rows(pos2, sel2), _SENTINEL)
     idx3 = _knn_self(pos3, 20)
     x = jax.nn.relu(_xconv(p, "encoder.conv3", x, pos3, 20, 64, 128, idx=idx3))
     x = jax.nn.relu(_xconv(p, "encoder.conv4", x, pos3, 20, 128, 256, idx=idx3))
