@@ -162,7 +162,10 @@ def _xconv(p, prefix, x, pos, K, C_in, C_out, idx=None):
 
 def _fps_masked(pos, valid, m, start):
     """FPS over valid points only; padded rows (valid=False) are never
-    selected while any real point remains (their running distance is -1)."""
+    selected while any real point remains (their running distance is -1).
+    Batched forward paths instead run ALL patches' chains lock-step in one
+    VMEM kernel (_fps_batch; a vmapped per-patch kernel would serialize
+    over the grid)."""
     mind = jnp.where(valid, jnp.sum((pos - pos[start]) ** 2, axis=-1), -1.0)
 
     def step(i, carry):
@@ -238,9 +241,11 @@ def _canonicalize(pc, valid):
     return x, pos1
 
 
-def _forward_core(p, x, pos1, valid, pool, m1: int, m2: int, s1, s2):
-    """Network composition from the canonicalized input onward; s1/s2 are
-    the FPS start indices for the two pooling stages.
+def _forward_core_sels(p, x, pos1, valid, pool, m1: int, m2: int,
+                       sel1, valid2, pos2, sel2):
+    """Network composition with the two FPS selections precomputed (sel1 on
+    pos1, sel2 on pos2) — batched callers compute them for the whole batch
+    in one lock-step kernel (_fps_batch) instead of per-patch loops.
 
     Each position set is kNN-searched ONCE and the scan shared by every
     stage on that set (enc1+dec3 on pos1, enc2+dec2 on pos2,
@@ -252,14 +257,10 @@ def _forward_core(p, x, pos1, valid, pool, m1: int, m2: int, s1, s2):
     idx1 = _knn_self(pos1, 20)
     x = jax.nn.relu(_xconv(p, "encoder.conv1", x, pos1, 16, 6, 32, idx=idx1))
 
-    sel1 = _fps_masked(pos1, valid, m1, s1)
-    valid2 = jnp.arange(m1) < jnp.ceil(pool * valid.sum()).astype(jnp.int32)
     x = _gather_rows(x, sel1)
-    pos2 = jnp.where(valid2[:, None], _gather_rows(pos1, sel1), _SENTINEL)
     idx2 = _knn_self(pos2, 20)
     x = jax.nn.relu(_xconv(p, "encoder.conv2", x, pos2, 20, 32, 64, idx=idx2))
 
-    sel2 = _fps_masked(pos2, valid2, m2, s2)
     valid3 = jnp.arange(m2) < jnp.ceil(pool * valid2.sum()).astype(jnp.int32)
     x = _gather_rows(x, sel2)
     pos3 = jnp.where(valid3[:, None], _gather_rows(pos2, sel2), _SENTINEL)
@@ -274,6 +275,46 @@ def _forward_core(p, x, pos1, valid, pool, m1: int, m2: int, s1, s2):
     x = _interpolate(x, pos2, pos1)
     x = jax.nn.relu(_xconv(p, "decoder.conv3", x, pos1, 20, 64, 32, idx=idx1))
     return _linear(p, "decoder.lin4", x)
+
+
+def _stage_sels(pos1, valid, pool, m1: int, s1):
+    """(sel1, valid2, pos2) for one patch — stage-1 FPS + pooled geometry."""
+    sel1 = _fps_masked(pos1, valid, m1, s1)
+    valid2 = jnp.arange(m1) < jnp.ceil(pool * valid.sum()).astype(jnp.int32)
+    pos2 = jnp.where(valid2[:, None], _gather_rows(pos1, sel1), _SENTINEL)
+    return sel1, valid2, pos2
+
+
+def _forward_core(p, x, pos1, valid, pool, m1: int, m2: int, s1, s2):
+    """Per-patch composition from FPS start indices (single-patch callers;
+    batched callers precompute selections via _fps_batch)."""
+    sel1, valid2, pos2 = _stage_sels(pos1, valid, pool, m1, s1)
+    sel2 = _fps_masked(pos2, valid2, m2, s2)
+    return _forward_core_sels(p, x, pos1, valid, pool, m1, m2,
+                              sel1, valid2, pos2, sel2)
+
+
+def _fps_batch(pos, valid, m: int, starts):
+    """Batched masked FPS: the Pallas lock-step kernel on TPU, a vmapped
+    XLA loop elsewhere — identical decisions (tested both ways)."""
+    if _use_pallas_knn():
+        from dipole_tpu.ops.neighbors_pallas import fps_masked_batch_pallas
+
+        return fps_masked_batch_pallas(pos, valid, m, starts)
+    return jax.vmap(lambda pp, vv, ss: _fps_masked(pp, vv, m, ss))(
+        pos, valid, starts)
+
+
+def _batched_sels(pos1, valid, pool, m1: int, m2: int, s1, s2):
+    """Batched two-stage FPS geometry: (sel1, valid2, pos2, sel2) for the
+    whole batch, each stage one lock-step kernel call."""
+    sel1 = _fps_batch(pos1, valid, m1, s1)
+    counts = jnp.ceil(pool * valid.sum(axis=1)).astype(jnp.int32)
+    valid2 = jnp.arange(m1)[None, :] < counts[:, None]
+    pos2 = jnp.where(valid2[..., None],
+                     jax.vmap(_gather_rows)(pos1, sel1), _SENTINEL)
+    sel2 = _fps_batch(pos2, valid2, m2, s2)
+    return sel1, valid2, pos2, sel2
 
 
 @partial(jax.jit, static_argnames=("m1", "m2"))
@@ -378,20 +419,35 @@ def derive_keys_cpu(fn):
         return np.asarray(fn(lambda k: jax.device_put(np.asarray(k), cpu)))
 
 
-@partial(jax.jit, static_argnames=("m1", "m2"))
-def _forward_batched(p, pc, valid, keys, pool, m1: int, m2: int):
+def _batched_core(p, x, pos1, valid, pool, m1: int, m2: int, s1, s2):
+    """Batched composition from canonicalized inputs + per-patch FPS start
+    indices: both FPS stages run lock-step for the whole batch (_fps_batch),
+    then the conv composition is vmapped with selections precomputed."""
+    sel1, valid2, pos2, sel2 = _batched_sels(pos1, valid, pool, m1, m2, s1, s2)
     return jax.vmap(
-        lambda c, v, k: _forward(p, c, v, k, pool, m1, m2)
-    )(pc, valid, keys)
+        lambda xx, p1, v, a, v2, p2, b: _forward_core_sels(
+            p, xx, p1, v, pool, m1, m2, a, v2, p2, b)
+    )(x, pos1, valid, sel1, valid2, pos2, sel2)
+
+
+def _forward_batched_impl(p, pc, valid, keys, pool, m1: int, m2: int):
+    x, pos1 = jax.vmap(_canonicalize)(pc, valid)
+    ks = jax.vmap(jax.random.split)(keys)                 # (B, 2, key)
+    s1 = jax.vmap(_random_valid_index)(ks[:, 0], valid)
+    counts = jnp.ceil(pool * valid.sum(axis=1)).astype(jnp.int32)
+    valid2 = jnp.arange(m1)[None, :] < counts[:, None]
+    s2 = jax.vmap(_random_valid_index)(ks[:, 1], valid2)
+    return _batched_core(p, x, pos1, valid, pool, m1, m2, s1, s2)
+
+
+_forward_batched = partial(jax.jit, static_argnames=("m1", "m2"))(
+    _forward_batched_impl)
 
 
 @partial(jax.jit, static_argnames=("m1", "m2"))
 def _forward_batched_starts(p, pc, valid, s1, s2, pool, m1: int, m2: int):
-    def one(c, v, a, b):
-        x, pos1 = _canonicalize(c, v)
-        return _forward_core(p, x, pos1, v, pool, m1, m2, a, b)
-
-    return jax.vmap(one)(pc, valid, s1, s2)
+    x, pos1 = jax.vmap(_canonicalize)(pc, valid)
+    return _batched_core(p, x, pos1, valid, pool, m1, m2, s1, s2)
 
 
 @partial(jax.jit, static_argnames=("m1", "m2"))
@@ -399,9 +455,7 @@ def _forward_batched_precanon(p, x, pos, valid, s1, s2, pool, m1: int, m2: int):
     """Batched forward on ALREADY-canonicalized inputs (the torch-exact
     replay path: canonicalization happens host-side with the reference's
     own LAPACK convention, see inference._canon_reference)."""
-    return jax.vmap(
-        lambda c, q, v, a, b: _forward_core(p, c, q, v, pool, m1, m2, a, b)
-    )(x, pos, valid, s1, s2)
+    return _batched_core(p, x, pos, valid, pool, m1, m2, s1, s2)
 
 
 # Widest vmapped batch per compiled program. Wider batches amortize dispatch
@@ -447,9 +501,7 @@ def _forward_batched_sharded(mesh, m1: int, m2: int):
         out_specs=P(axis),
     )
     def run(p, pc, valid, keys, pool):
-        return jax.vmap(
-            lambda c, v, k: _forward(p, c, v, k, pool, m1, m2)
-        )(pc, valid, keys)
+        return _forward_batched_impl(p, pc, valid, keys, pool, m1, m2)
 
     fn = jax.jit(run)
     _SHARDED_FORWARD_CACHE[cache_key] = fn

@@ -141,3 +141,84 @@ def knn_with_dist_pallas(dst, src, k: int, interpret: bool = False):
         interpret=interpret,
     )(dplanes, splanes)
     return idx[:nd, :k], d2[:nd, :k]
+
+
+# ---------------------------------------------------------------------------
+# Masked farthest-point sampling (batched, lock-step)
+# ---------------------------------------------------------------------------
+
+def _fps_batch_kernel(x_ref, y_ref, z_ref, v_ref, sh_ref, o_ref, *, m: int):
+    """Lock-step FPS for a whole patch batch in ONE kernel instance.
+
+    x/y/z_ref (B, N) coordinate planes; v_ref (B, N) validity (1.0/0.0);
+    sh_ref (B, N) one-hot of each row's start point; o_ref (B, Mo) int32 —
+    column i holds step i's selection per row. All B sequential chains
+    advance together, so each of the m steps is a full-width (B, N) VPU op
+    instead of B separate tiny chains (a vmapped per-patch kernel serializes
+    over the grid: measured 42 ms vs 39 ms XLA at (128, 512); this form
+    runs the same work in ~3 ms). Decision semantics match
+    models/pointcnn._fps_masked exactly: first-index argmax ties, running
+    min-distance, invalid rows parked at -1."""
+    x = x_ref[:]
+    y = y_ref[:]
+    z = z_ref[:]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    olanes = jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, 1)
+
+    def coords(hit):
+        cx = jnp.sum(jnp.where(hit, x, 0.0), axis=1, keepdims=True)
+        cy = jnp.sum(jnp.where(hit, y, 0.0), axis=1, keepdims=True)
+        cz = jnp.sum(jnp.where(hit, z, 0.0), axis=1, keepdims=True)
+        return cx, cy, cz
+
+    def dist(cx, cy, cz):
+        return (x - cx) * (x - cx) + (y - cy) * (y - cy) + (z - cz) * (z - cz)
+
+    hit0 = sh_ref[:] > 0.5
+    s = jnp.min(jnp.where(hit0, lanes, _IMAX), axis=1, keepdims=True)
+    mind = jnp.where(v_ref[:] > 0.5, dist(*coords(hit0)), -1.0)
+    sel = jnp.where(olanes == 0, s, jnp.zeros(o_ref.shape, jnp.int32))
+
+    def step(i, carry):
+        sel, mind = carry
+        mx = jnp.max(mind, axis=1, keepdims=True)
+        c = jnp.min(jnp.where(mind == mx, lanes, _IMAX), axis=1, keepdims=True)
+        sel = jnp.where(olanes == i, c, sel)
+        hit = lanes == c
+        mind = jnp.minimum(mind, dist(*coords(hit)))
+        return sel, mind
+
+    sel, _ = jax.lax.fori_loop(1, m, step, (sel, mind))
+    o_ref[:] = sel
+
+
+@partial(jax.jit, static_argnames=("m",))
+def fps_masked_batch_pallas(pos, valid, m: int, starts):
+    """Batched masked FPS — decisions identical to vmapping the XLA
+    fori_loop version (models/pointcnn._fps_masked) over the batch.
+    pos (B, N, 3), valid (B, N) bool, starts (B,) int. Returns (B, m) int32.
+    The N axis is padded to a lane multiple with invalid columns (never
+    selected while a real point remains, exactly like bucket padding)."""
+    pos = jax.lax.stop_gradient(pos)
+    b, n = pos.shape[0], pos.shape[1]
+    npad = -(-n // 128) * 128
+    bpad = -(-b // 8) * 8
+    x = jnp.zeros((bpad, npad), jnp.float32)
+    planes = [
+        jax.lax.dynamic_update_slice(x, pos[:, :, ch], (0, 0))
+        for ch in range(3)
+    ]
+    v = jax.lax.dynamic_update_slice(
+        jnp.zeros((bpad, npad), jnp.float32),
+        valid.astype(jnp.float32), (0, 0))
+    sh = jax.lax.dynamic_update_slice(
+        jnp.zeros((bpad, npad), jnp.float32),
+        jax.nn.one_hot(starts, n, dtype=jnp.float32), (0, 0))
+    mo = -(-m // 128) * 128
+    sel = pl.pallas_call(
+        partial(_fps_batch_kernel, m=m),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bpad, mo), jnp.int32),
+    )(planes[0], planes[1], planes[2], v, sh)
+    return sel[:b, :m]

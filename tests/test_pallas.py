@@ -248,3 +248,29 @@ def test_forward_pallas_knn_wiring_interpret(monkeypatch):
 
     np.testing.assert_allclose(lg_pal[:100], lg_scan[:100], rtol=1e-3,
                                atol=1e-4)
+
+
+def test_pallas_fps_batch_matches_xla_interpret():
+    """The lock-step batched FPS kernel must make the same selections as
+    vmapping the XLA fori_loop FPS (first-index argmax ties, masked
+    invalid rows, ragged valid counts, non-128-multiple N)."""
+    from dipole_tpu.models.pointcnn import _fps_masked
+    from dipole_tpu.ops.neighbors_pallas import fps_masked_batch_pallas
+
+    r = np.random.default_rng(11)
+    for B, N, m in [(8, 256, 154), (4, 308, 185), (3, 128, 77)]:
+        pos = r.normal(size=(B, N, 3)).astype(np.float32)
+        nv = r.integers(max(1, m // 4), N + 1, B)
+        for i in range(B):
+            pos[i, nv[i]:] = 1.0e6
+        valid = np.arange(N)[None, :] < nv[:, None]
+        starts = (r.integers(0, 1 << 30, B) % nv).astype(np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            a = np.asarray(fps_masked_batch_pallas(
+                pos, valid, m, starts))
+        b = np.asarray(jax.vmap(
+            lambda p, v, s: _fps_masked(p, v, m, s))(pos, valid, starts))
+        # FPS distances are squared sums of generic floats: FMA-contraction
+        # ties are astronomically unlikely, so exact equality is expected
+        # (and holds bit-for-bit on TPU hardware, verified on the v5e)
+        assert np.array_equal(a, b), (B, N, m)
