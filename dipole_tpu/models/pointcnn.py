@@ -58,6 +58,13 @@ def _use_pallas_knn() -> bool:
     return neighbors_pallas.available()
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def _gather_rows(x, idx):
     """x[idx] for integer idx (..., k) over rows of x (N, C).
 
@@ -69,8 +76,10 @@ def _gather_rows(x, idx):
     materialized. Neighbor/pooling gathers dominate the forward's conv
     stages (tools/forward_profile.py), so this is the single largest win
     after the kNN kernel. CPU keeps the native gather (same bits; dense
-    one-hot flops are a loss without an MXU)."""
-    if _use_pallas_knn():
+    one-hot flops are a loss without an MXU). Plain XLA, not Pallas — gated
+    on the platform only, so the DIPOLE_TPU_NO_PALLAS kill-switch (a
+    Mosaic-issue escape hatch) does not also disable it."""
+    if _on_tpu():
         P = jax.nn.one_hot(idx, x.shape[0], dtype=x.dtype)
         return jnp.einsum("...j,jc->...c", P, x, precision=_HI)
     return x[idx]
@@ -241,7 +250,15 @@ def _canonicalize(pc, valid):
     return x, pos1
 
 
-def _forward_core_sels(p, x, pos1, valid, pool, m1: int, m2: int,
+def _pool_valid(valid, pool, m: int):
+    """Validity mask of the next pooling stage: the first ceil(pool * n_valid)
+    of the m padded FPS slots are real (the single source of the
+    pooled-count rule; batched callers pass (B, N) masks)."""
+    counts = jnp.ceil(pool * valid.sum(axis=-1)).astype(jnp.int32)
+    return jnp.arange(m) < counts[..., None]
+
+
+def _forward_core_sels(p, x, pos1, pool, m2: int,
                        sel1, valid2, pos2, sel2):
     """Network composition with the two FPS selections precomputed (sel1 on
     pos1, sel2 on pos2) — batched callers compute them for the whole batch
@@ -261,7 +278,7 @@ def _forward_core_sels(p, x, pos1, valid, pool, m1: int, m2: int,
     idx2 = _knn_self(pos2, 20)
     x = jax.nn.relu(_xconv(p, "encoder.conv2", x, pos2, 20, 32, 64, idx=idx2))
 
-    valid3 = jnp.arange(m2) < jnp.ceil(pool * valid2.sum()).astype(jnp.int32)
+    valid3 = _pool_valid(valid2, pool, m2)
     x = _gather_rows(x, sel2)
     pos3 = jnp.where(valid3[:, None], _gather_rows(pos2, sel2), _SENTINEL)
     idx3 = _knn_self(pos3, 20)
@@ -277,20 +294,14 @@ def _forward_core_sels(p, x, pos1, valid, pool, m1: int, m2: int,
     return _linear(p, "decoder.lin4", x)
 
 
-def _stage_sels(pos1, valid, pool, m1: int, s1):
-    """(sel1, valid2, pos2) for one patch — stage-1 FPS + pooled geometry."""
-    sel1 = _fps_masked(pos1, valid, m1, s1)
-    valid2 = jnp.arange(m1) < jnp.ceil(pool * valid.sum()).astype(jnp.int32)
-    pos2 = jnp.where(valid2[:, None], _gather_rows(pos1, sel1), _SENTINEL)
-    return sel1, valid2, pos2
-
-
 def _forward_core(p, x, pos1, valid, pool, m1: int, m2: int, s1, s2):
     """Per-patch composition from FPS start indices (single-patch callers;
     batched callers precompute selections via _fps_batch)."""
-    sel1, valid2, pos2 = _stage_sels(pos1, valid, pool, m1, s1)
+    sel1 = _fps_masked(pos1, valid, m1, s1)
+    valid2 = _pool_valid(valid, pool, m1)
+    pos2 = jnp.where(valid2[:, None], _gather_rows(pos1, sel1), _SENTINEL)
     sel2 = _fps_masked(pos2, valid2, m2, s2)
-    return _forward_core_sels(p, x, pos1, valid, pool, m1, m2,
+    return _forward_core_sels(p, x, pos1, pool, m2,
                               sel1, valid2, pos2, sel2)
 
 
@@ -309,8 +320,7 @@ def _batched_sels(pos1, valid, pool, m1: int, m2: int, s1, s2):
     """Batched two-stage FPS geometry: (sel1, valid2, pos2, sel2) for the
     whole batch, each stage one lock-step kernel call."""
     sel1 = _fps_batch(pos1, valid, m1, s1)
-    counts = jnp.ceil(pool * valid.sum(axis=1)).astype(jnp.int32)
-    valid2 = jnp.arange(m1)[None, :] < counts[:, None]
+    valid2 = _pool_valid(valid, pool, m1)
     pos2 = jnp.where(valid2[..., None],
                      jax.vmap(_gather_rows)(pos1, sel1), _SENTINEL)
     sel2 = _fps_batch(pos2, valid2, m2, s2)
@@ -327,7 +337,7 @@ def _forward(p, pc, valid, key, pool, m1: int, m2: int):
     x, pos1 = _canonicalize(pc, valid)
     k1, k2 = jax.random.split(key)
     s1 = _random_valid_index(k1, valid)
-    valid2 = jnp.arange(m1) < jnp.ceil(pool * valid.sum()).astype(jnp.int32)
+    valid2 = _pool_valid(valid, pool, m1)
     s2 = _random_valid_index(k2, valid2)
     return _forward_core(p, x, pos1, valid, pool, m1, m2, s1, s2)
 
@@ -425,17 +435,16 @@ def _batched_core(p, x, pos1, valid, pool, m1: int, m2: int, s1, s2):
     then the conv composition is vmapped with selections precomputed."""
     sel1, valid2, pos2, sel2 = _batched_sels(pos1, valid, pool, m1, m2, s1, s2)
     return jax.vmap(
-        lambda xx, p1, v, a, v2, p2, b: _forward_core_sels(
-            p, xx, p1, v, pool, m1, m2, a, v2, p2, b)
-    )(x, pos1, valid, sel1, valid2, pos2, sel2)
+        lambda xx, p1, a, v2, p2, b: _forward_core_sels(
+            p, xx, p1, pool, m2, a, v2, p2, b)
+    )(x, pos1, sel1, valid2, pos2, sel2)
 
 
 def _forward_batched_impl(p, pc, valid, keys, pool, m1: int, m2: int):
     x, pos1 = jax.vmap(_canonicalize)(pc, valid)
     ks = jax.vmap(jax.random.split)(keys)                 # (B, 2, key)
     s1 = jax.vmap(_random_valid_index)(ks[:, 0], valid)
-    counts = jnp.ceil(pool * valid.sum(axis=1)).astype(jnp.int32)
-    valid2 = jnp.arange(m1)[None, :] < counts[:, None]
+    valid2 = _pool_valid(valid, pool, m1)
     s2 = jax.vmap(_random_valid_index)(ks[:, 1], valid2)
     return _batched_core(p, x, pos1, valid, pool, m1, m2, s1, s2)
 
