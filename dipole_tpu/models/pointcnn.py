@@ -124,8 +124,9 @@ def _xconv(p, prefix, x, pos, K, C_in, C_out, idx=None):
     K columns are bit-identical to _knn_self(pos, K): the k-step masked
     argmin scan selects neighbors in distance-rank order, so a longer scan's
     prefix IS the shorter scan). Stages sharing a position set pass one
-    shared scan instead of re-searching — the kNN scans are ~40% of the
-    forward's device time (tools/forward_profile.py)."""
+    shared scan instead of re-searching — before the Pallas kNN kernel the
+    scans were ~40% of the forward's device time (tools/forward_profile.py;
+    BASELINE.md round-3 section has the full optimization ledger)."""
     N = pos.shape[0]
     idx = _knn_self(pos, K) if idx is None else idx[:, :K]
     pos_diff = _gather_rows(pos, idx) - pos[:, None, :]  # neighbor - center
@@ -264,12 +265,12 @@ def _forward_core_sels(p, x, pos1, pool, m2: int,
     pos1, sel2 on pos2) — batched callers compute them for the whole batch
     in one lock-step kernel (_fps_batch) instead of per-patch loops.
 
-    Each position set is kNN-searched ONCE and the scan shared by every
+    Each position set is kNN-searched ONCE and the search shared by every
     stage on that set (enc1+dec3 on pos1, enc2+dec2 on pos2,
     enc3/enc4/dec1 on pos3): selections are bit-identical to per-stage
-    searches (see _xconv), and the widest scans are the forward's single
-    most expensive component (28+35 ms of a 227 ms (128, 512) chunk,
-    tools/forward_profile.py)."""
+    searches (see _xconv). With the Pallas kNN kernel, MXU gathers and the
+    batched FPS, the warm (128, 512) chunk is 83 ms vs the original 259 ms
+    (tools/forward_profile.py, BASELINE.md)."""
     # encoder (reference models/pointcnn.py:63-78)
     idx1 = _knn_self(pos1, 20)
     x = jax.nn.relu(_xconv(p, "encoder.conv1", x, pos1, 16, 6, 32, idx=idx1))
