@@ -251,3 +251,19 @@ def test_derive_keys_cpu_matches_default_and_falls_back(monkeypatch):
     got2 = pointcnn.derive_keys_cpu(
         lambda put: jax.random.split(jax.random.fold_in(put(key), 7), 5))
     assert np.array_equal(got2, want)
+
+
+def test_prepared_batches_mismatch_guard():
+    """Passing prepared buffers that do not cover the patch list must fail
+    loudly (bucket/width drift would otherwise return wrong logits)."""
+    import pytest
+
+    from dipole_tpu.models import pointcnn
+
+    r = np.random.default_rng(0)
+    patches = [r.normal(size=(60, 6)).astype(np.float32) for _ in range(4)]
+    prepared = pointcnn.prepare_patch_batches(patches[:2], 128, 8)
+    params = {}  # never reached: the guard fires first
+    with pytest.raises(AssertionError, match="prepared batches do not cover"):
+        pointcnn.pointcnn_logits_batched(params, 0.6, patches, bucket=128,
+                                         prepared=prepared)

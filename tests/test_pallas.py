@@ -274,3 +274,23 @@ def test_pallas_fps_batch_matches_xla_interpret():
         # ties are astronomically unlikely, so exact equality is expected
         # (and holds bit-for-bit on TPU hardware, verified on the v5e)
         assert np.array_equal(a, b), (B, N, m)
+
+
+def test_pallas_knn_duplicate_points_ties_interpret():
+    """Exact duplicate points produce d2=0 ties at the top of every list —
+    the kernel must break them to the lowest index exactly like the scan
+    (coincident points are common in scanned clouds)."""
+    from dipole_tpu.ops.neighbors_pallas import knn_with_dist_pallas
+
+    r = np.random.default_rng(3)
+    base = r.normal(size=(64, 3)).astype(np.float32)
+    pos = np.concatenate([base, base, base[:32]], axis=0)  # every point duplicated
+    with pltpu.force_tpu_interpret_mode():
+        idx_p, d2_p = knn_with_dist_pallas(pos, pos, 5)
+    idx_s, d2_s = _scan_knn_with_dist(pos, pos, 5)
+    # duplicates tie at d2 == 0.0 exactly — no FMA drift possible at zero,
+    # so the SELECTIONS must match bit-for-bit even in interpret mode (the
+    # nonzero tail distances still carry the known 1-ULP contraction drift)
+    assert np.array_equal(np.asarray(idx_p), idx_s)
+    assert np.array_equal(np.asarray(d2_p)[:, :3], d2_s[:, :3])  # the 0-ties
+    np.testing.assert_allclose(np.asarray(d2_p), d2_s, rtol=2e-6)
