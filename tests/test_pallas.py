@@ -292,5 +292,6 @@ def test_pallas_knn_duplicate_points_ties_interpret():
     # so the SELECTIONS must match bit-for-bit even in interpret mode (the
     # nonzero tail distances still carry the known 1-ULP contraction drift)
     assert np.array_equal(np.asarray(idx_p), idx_s)
-    assert np.array_equal(np.asarray(d2_p)[:, :3], d2_s[:, :3])  # the 0-ties
+    zero = d2_s == 0.0                                   # the duplicate ties
+    assert zero.any() and (np.asarray(d2_p)[zero] == 0.0).all()
     np.testing.assert_allclose(np.asarray(d2_p), d2_s, rtol=2e-6)
