@@ -469,17 +469,19 @@ def _forward_batched_precanon(p, x, pos, valid, s1, s2, pool, m1: int, m2: int):
 
 
 # Widest vmapped batch per compiled program. Wider batches amortize dispatch
-# better but the program size grows linearly with the batch width; at 256-wide
-# x 1024-point buckets the backend's remote compiler falls over (HTTP 500,
-# vase demo). The width budget scales inversely with the bucket so the
-# program size stays bounded: bucket 512 -> 128 wide (measured: 0.95s vs
-# 1.23s per 382-patch pass at 32 wide), bucket 1024 -> 64, bucket 2048 -> 32.
-# High pool ratios barely shrink the stages (pool 0.99 keeps ~all points
-# through the encoder), which superlinearly inflates compile time with
-# width: pool 0.99 at bucket 512 compiles in 70.8s at width 32 and 3.3s at
-# 64, but 500s+ at 128 (measured) — so the budget halves above POOL_WIDE.
-MAX_FORWARD_ELEMS = 65536
-MAX_FORWARD_BATCH = 128  # cap; effective width = min(this, budget // bucket)
+# better but the program size grows linearly with the batch width — with the
+# ORIGINAL scan-based forward, 256-wide x 1024-point buckets crashed the
+# backend's remote compiler (HTTP 500, vase demo) and pool-0.99 programs
+# took 500s+, which set the old 65536-element budget. The round-3 forward
+# (Pallas kNN, MXU gathers, batched FPS) compiles in 9-20s at DOUBLE the
+# widths and is 10-18% faster per patch there (measured 2026-08-18, v5e:
+# b512 p0.6 256w 0.674 vs 128w 0.784 ms/patch; b512 p0.99 128w 1.109 vs
+# 64w 1.353; b1024 p0.6 128w 1.504 vs 64w 1.668; b1024 p0.99 64w 2.701 vs
+# 32w 3.112; b2048 p0.6 64w 4.005 vs 32w 4.335). 512-wide adds only 4%
+# more at b512 for 2x the program — capped at 256. High pool ratios still
+# halve the budget (near-identity pooling doubles stage sizes).
+MAX_FORWARD_ELEMS = 131072
+MAX_FORWARD_BATCH = 256  # cap; effective width = min(this, budget // bucket)
 POOL_WIDE = 0.8
 
 

@@ -179,16 +179,16 @@ def test_padded_forward_gradients_finite(hands_sd):
 
 def test_forward_width_policy():
     """Width budget: inverse in bucket, halved above pool 0.8, floor 8,
-    cap 128 (measured compile behavior, see pointcnn.py comments)."""
+    cap 256 (measured compile/runtime behavior, see pointcnn.py comments)."""
     from dipole_tpu.models.pointcnn import _forward_width
 
-    assert _forward_width(512, 0.6) == 128
-    assert _forward_width(1024, 0.6) == 64
-    assert _forward_width(2048, 0.6) == 32
-    assert _forward_width(512, 0.99) == 64
-    assert _forward_width(1024, 0.99) == 32
-    assert _forward_width(65536, 0.6) == 8
-    assert _forward_width(64, 0.6) == 128
+    assert _forward_width(512, 0.6) == 256
+    assert _forward_width(1024, 0.6) == 128
+    assert _forward_width(2048, 0.6) == 64
+    assert _forward_width(512, 0.99) == 128
+    assert _forward_width(1024, 0.99) == 64
+    assert _forward_width(131072, 0.6) == 8
+    assert _forward_width(64, 0.6) == 256
 
 
 def test_ensemble_vote_starts():
