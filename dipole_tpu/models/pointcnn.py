@@ -52,9 +52,19 @@ def _elu(x):
     return jax.nn.elu(x)
 
 
-def _use_pallas_knn() -> bool:
+def _use_pallas_knn(k: int | None = None, ns: int | None = None) -> bool:
+    """Gate for the Pallas kNN/FPS branch. Beyond availability, callers pass
+    (k, ns) so degenerate shapes take the scan path instead of erroring
+    where the scan degrades gracefully (ADVICE r3): k > ns (tiny pools) and
+    sources past the kernel's VMEM budget (the cell holds the full (128, ns)
+    f32 distance block + (8, ns) source planes ≈ 544·ns bytes; 8192 keeps it
+    under ~4.5 MB with ample headroom — every real bucket is ≤ 2048)."""
     from dipole_tpu.ops import neighbors_pallas
 
+    if k is not None and ns is not None and k > ns:
+        return False
+    if ns is not None and ns > neighbors_pallas.MAX_KNN_SOURCES:
+        return False
     return neighbors_pallas.available()
 
 
@@ -94,7 +104,7 @@ def _knn_self(pos, k):
     would also compute identical selections but makes the axon remote
     compile pathological (>20 min vs ~35 s; measured, then reverted) — cf.
     the same backend's lax.top_k behavior."""
-    if _use_pallas_knn():
+    if _use_pallas_knn(k, pos.shape[0]):
         from dipole_tpu.ops.neighbors_pallas import knn_with_dist_pallas
 
         idx, _ = knn_with_dist_pallas(pos, pos, k)
@@ -203,7 +213,7 @@ def _interpolate(x, pos_src, pos_dst, k=16):
     models/pointcnn.py:95 / torch_geometric semantics). Same TPU/CPU split
     as _knn_self: the Pallas kernel returns the identical (idx, d2) pairs
     the scan would."""
-    if _use_pallas_knn():
+    if _use_pallas_knn(k, pos_src.shape[0]):
         from dipole_tpu.ops.neighbors_pallas import knn_with_dist_pallas
 
         idx, dist2 = knn_with_dist_pallas(pos_dst, pos_src, k)
@@ -617,8 +627,16 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
         lambda put: jax.random.split(put(key), len(patches)))
     if prepared is None:
         prepared = prepare_patch_batches(patches, nb, width, n_dev)
-    assert sum(len(lens) for *_, lens in prepared) == len(patches), \
-        "prepared batches do not cover this patch list (bucket/width mismatch?)"
+    covered = sum(len(lens) for *_, lens in prepared)
+    if covered != len(patches):
+        raise ValueError(
+            f"prepared batches cover {covered} patches, call has "
+            f"{len(patches)} (bucket/width mismatch?)")
+    for pc_d, *_ in prepared:
+        if int(pc_d.shape[1]) != nb:
+            raise ValueError(
+                f"prepared buffers were padded to bucket {int(pc_d.shape[1])} "
+                f"but this call uses bucket {nb} — stale prepared cache")
     for pc_d, valid_d, lo, lens in prepared:
         Bp = pc_d.shape[0]
         ck = np.concatenate(

@@ -34,7 +34,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["knn_with_dist_pallas", "available"]
+__all__ = ["knn_with_dist_pallas", "available", "MAX_KNN_SOURCES"]
+
+# Source-size ceiling for the kNN kernel: one grid cell keeps the full
+# (TQ=128, ns) f32 distance block plus the (8, ns) source planes in VMEM
+# (~544·ns bytes), so very large sources would blow the ~16 MB budget and
+# fail Mosaic compilation where the scan path still works. Callers
+# (pointcnn._use_pallas_knn) fall back to the scan above this. 8192 keeps
+# the cell under ~4.5 MB; every real forward bucket is <= 2048.
+MAX_KNN_SOURCES = 8192
 
 _SENTINEL = 1.0e6
 # Wrapper padding columns get coordinates strictly beyond the caller's own

@@ -33,12 +33,30 @@ def get_parser(name: str = "Base Options") -> argparse.ArgumentParser:
                         help="replay the torch reference's FPS-start RNG "
                              "bit-exactly from this seed (reference pins "
                              "torch.manual_seed(1))")
-    parser.add_argument("--vote_starts", type=int, default=1,
+    parser.add_argument("--vote_starts", type=_vote_starts, default=1,
                         help="FPS-start ensembling: votes per model per "
                              "patch (1 = reference semantics; >1 averages "
                              "out FPS-start noise at vote_starts x forward "
-                             "cost)")
+                             "cost — measured strictly WORSE end-to-end; a "
+                             "warning is emitted)")
     return parser
+
+
+def _vote_starts(value: str) -> int:
+    """argparse type for --vote_starts: the only end-to-end measurement of
+    S > 1 is a regression (hand 0.8991 at S=3 vs 0.9379 at S=1 — start
+    averaging smooths the decisive high-confidence flips the re-vote loop
+    needs; BASELINE.md round-3 note), so values above 1 warn at parse time."""
+    s = int(value)
+    if s > 1:
+        import warnings
+
+        warnings.warn(
+            f"--vote_starts {s}: start-vote averaging was measured strictly "
+            "worse end-to-end (hand GT 0.8991 at S=3 vs 0.9379 at S=1; "
+            "BASELINE.md). Prefer more models (--models) over more starts.",
+            stacklevel=2)
+    return s
 
 
 def export_options(opts) -> None:

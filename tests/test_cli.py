@@ -95,3 +95,25 @@ def test_vote_starts_flag_parses_and_threads(tiny_cloud, tmp_path, monkeypatch):
     op.main(["--pc", str(pc_path), "--export_dir", str(tmp_path),
              "--iters", "1", "--vote_starts", "2"])
     assert seen["vote_starts"] == 2
+
+
+def test_vote_starts_warns_above_one():
+    """--vote_starts > 1 is a measured footgun (hand 0.8991 at S=3 vs
+    0.9379 at S=1, BASELINE.md) — the parser warns at parse time; S=1 is
+    silent (VERDICT r3 item 9)."""
+    import warnings
+
+    from dipole_tpu.utils.config import get_parser
+
+    base = ["--pc", "a.xyz", "--export_dir", "b"]
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        opts = get_parser().parse_args(base + ["--vote_starts", "3"])
+    assert opts.vote_starts == 3
+    assert any("vote_starts" in str(w.message) and "worse" in str(w.message)
+               for w in rec)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        opts = get_parser().parse_args(base + ["--vote_starts", "1"])
+    assert opts.vote_starts == 1
+    assert not [w for w in rec if "vote_starts" in str(w.message)]

@@ -253,6 +253,20 @@ def test_derive_keys_cpu_matches_default_and_falls_back(monkeypatch):
     assert np.array_equal(got2, want)
 
 
+def test_pallas_knn_gate_degenerate_shapes(monkeypatch):
+    """The Pallas kNN branch is gated on k <= ns and the kernel's VMEM
+    source budget; degenerate shapes take the scan path, which degrades
+    gracefully instead of raising (ADVICE r3)."""
+    from dipole_tpu.models import pointcnn
+    from dipole_tpu.ops import neighbors_pallas
+
+    monkeypatch.setattr(neighbors_pallas, "available", lambda: True)
+    assert not pointcnn._use_pallas_knn(16, 8)           # k > ns
+    assert not pointcnn._use_pallas_knn(
+        16, neighbors_pallas.MAX_KNN_SOURCES + 1)        # VMEM gate
+    assert pointcnn._use_pallas_knn(16, 512)
+
+
 def test_prepared_batches_mismatch_guard():
     """Passing prepared buffers that do not cover the patch list must fail
     loudly (bucket/width drift would otherwise return wrong logits)."""
@@ -264,6 +278,12 @@ def test_prepared_batches_mismatch_guard():
     patches = [r.normal(size=(60, 6)).astype(np.float32) for _ in range(4)]
     prepared = pointcnn.prepare_patch_batches(patches[:2], 128, 8)
     params = {}  # never reached: the guard fires first
-    with pytest.raises(AssertionError, match="prepared batches do not cover"):
+    with pytest.raises(ValueError, match="prepared batches cover"):
         pointcnn.pointcnn_logits_batched(params, 0.6, patches, bucket=128,
                                          prepared=prepared)
+    # same count but a different bucket: the padded buffers carry the stale
+    # bucket's padding and would silently produce wrong logits (ADVICE r3)
+    prepared_stale = pointcnn.prepare_patch_batches(patches, 128, 8)
+    with pytest.raises(ValueError, match="stale prepared cache"):
+        pointcnn.pointcnn_logits_batched(params, 0.6, patches, bucket=256,
+                                         prepared=prepared_stale)
