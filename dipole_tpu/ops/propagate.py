@@ -496,7 +496,8 @@ def strongest_field_propagation_reps(pts, reps, diffuse: bool = False,
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def _xie_greedy_scan(I: jnp.ndarray, start: jnp.ndarray, valid: jnp.ndarray):
+def _xie_greedy_scan(I: jnp.ndarray, start: jnp.ndarray, valid: jnp.ndarray,
+                     knn_idx=None):
     """Sequential xie propagation (reference field_utils.py:536-563).
 
     The reference re-adds the interaction of the *entire* visited set to the
@@ -504,8 +505,22 @@ def _xie_greedy_scan(I: jnp.ndarray, start: jnp.ndarray, valid: jnp.ndarray):
     weighted by how long it has been visited; the next point is the max of
     the *signed* accumulator (not max-|.|). Replicated via a running rate
     vector: rate = I @ (sign * visited); acc += rate each step. I is padded
-    to a bucket; padded rows start visited and excess steps are no-ops."""
+    to a bucket; padded rows start visited and excess steps are no-ops.
+
+    knn_idx (N, k) int32: optional kNN mask in INDEX form (knn_idx[j] =
+    source j's nearest targets; padding rows filled with N, which scatters
+    to nothing). Each step applies mask[:, c] = one_hot-scatter(knn_idx[c])
+    to the UNMASKED matrix's column on the fly — exact 1.0/0.0 factors, so
+    the rate sums are bit-identical to running on a dense-masked matrix —
+    instead of materializing the (N, N) mask (VERDICT r3 item 4: the dense
+    host mask is 3.6 GB at the server's 30k admission cap)."""
     n = I.shape[0]
+
+    def col(c):
+        column = I[:, c]
+        if knn_idx is not None:
+            column = column * jnp.zeros((n,), jnp.float32).at[knn_idx[c]].set(1.0)
+        return column
 
     def step(carry, _):
         acc, rate, sign, visited = carry
@@ -516,11 +531,11 @@ def _xie_greedy_scan(I: jnp.ndarray, start: jnp.ndarray, valid: jnp.ndarray):
         s = jnp.where(acc[c] < 0, -1.0, 1.0)
         sign = sign.at[c].set(jnp.where(live, s, sign[c]))
         visited = visited.at[c].set(True)
-        rate = rate + jnp.where(live, s, 0.0) * I[:, c]
+        rate = rate + jnp.where(live, s, 0.0) * col(c)
         return (acc, rate, sign, visited), None
 
     acc0 = jnp.zeros((n,), jnp.float32)
-    rate0 = I[:, start]
+    rate0 = col(start)
     sign0 = jnp.zeros((n,), jnp.float32).at[start].set(1.0)
     visited0 = (~valid).at[start].set(True)
     (acc, _, sign, _), _ = jax.lax.scan(
@@ -532,21 +547,37 @@ def _xie_greedy_scan(I: jnp.ndarray, start: jnp.ndarray, valid: jnp.ndarray):
 def xie_propagation_points(pts, eps: float, diffuse: bool = False,
                            starting_point: int = 0, C: float = 3.0,
                            knn_mask: int = -1) -> np.ndarray:
-    """Sequential mirror-field propagation (reference field_utils.py:536-563)."""
+    """Sequential mirror-field propagation (reference field_utils.py:536-563).
+
+    knn_mask > 0 keeps pair (i, j) iff i is among j's knn_mask nearest
+    targets (reference field_utils.py:449-458). The mask rides in (N, k)
+    INDEX form applied inside the scan / diffuse — no dense (N, N) mask is
+    ever built, and the branch holds ONE live bucket-size array (the
+    unmasked matrix, built exact-zero-padded at the bucket); decisions are
+    bit-identical to dense masking (exact 1.0/0.0 factors; parity test)."""
     pts = np.asarray(pts, dtype=np.float32)
     n = len(pts)
-    mask = _build_knn_mask(pts, knn_mask) if knn_mask > 0 else None
     nb = _bucket(n)
-    if mask is None and nb % fields.BLOCK_T == 0 and nb % fields.BLOCK_S == 0:
+    knn_idx = None
+    if knn_mask > 0:
+        from dipole_tpu.ops.neighbors import knn
+
+        kk = min(n, knn_mask)
+        idxs, _ = knn(pts[:, :3], pts[:, :3], kk)        # (n, kk): j's nearest
+        pad = np.full((nb, kk), nb, np.int32)            # fill scatters nowhere
+        pad[:n] = np.asarray(idxs)
+        knn_idx = jnp.asarray(pad)
+    if nb % fields.BLOCK_T == 0 and nb % fields.BLOCK_S == 0:
         # one live (nb, nb) array (exact-zero padded in the kernel) instead
         # of matrix + padded copy — fits 30k-class clouds in HBM
         Ipad = fields.xie_interaction_matrix(pts, C=C, bucket=nb)
     else:
-        I = fields.xie_interaction_matrix(pts, C=C, knn_mask=mask)
+        I = fields.xie_interaction_matrix(pts, C=C)
         Ipad = jnp.zeros((nb, nb), jnp.float32).at[:n, :n].set(I)
         del I
     valid = jnp.zeros((nb,), bool).at[:n].set(True)
-    acc, sign_pad = _xie_greedy_scan(Ipad, jnp.int32(starting_point), valid)
+    acc, sign_pad = _xie_greedy_scan(Ipad, jnp.int32(starting_point), valid,
+                                     knn_idx=knn_idx)
     acc, sign = np.asarray(acc)[:n], np.asarray(sign_pad)[:n]
     if diffuse:
         # reference diffuse_field: interactions of the whole (current) cloud
@@ -555,12 +586,32 @@ def xie_propagation_points(pts, eps: float, diffuse: bool = False,
         # host tunnel; padded columns are exactly zero, so the padded dot's
         # first n rows equal the unpadded one
         sp = jnp.zeros((nb,), jnp.float32).at[:n].set(jnp.asarray(sign))
-        inter = np.asarray(jnp.dot(Ipad, sp, precision=_HI))[:n] * sign
+        if knn_idx is None:
+            inter = np.asarray(jnp.dot(Ipad, sp, precision=_HI))[:n] * sign
+        else:
+            inter = np.asarray(
+                _masked_diffuse_inter(Ipad, knn_idx, sp))[:n] * sign
         vote = np.where(inter > 0, 1.0, -1.0).astype(np.float32)
         sign = sign * vote
     out = pts.copy()
     out[:, 3:6] *= sign[:, None]
     return out
+
+
+@jax.jit
+def _masked_diffuse_inter(I: jnp.ndarray, knn_idx: jnp.ndarray,
+                          sp: jnp.ndarray) -> jnp.ndarray:
+    """inter[i] = sum_j I[i, j] * mask[i, j] * sp[j] via the mask's sparsity:
+    only (source j, target i in knn_idx[j]) pairs contribute — an O(N k)
+    gather + segment-sum, no dense mask (same trick as _in_order_scan's
+    masked diffuse). Sentinel rows (fill N) are clipped and zeroed."""
+    n = I.shape[0]
+    k = knn_idx.shape[1]
+    jj = jnp.repeat(jnp.arange(n), k)                    # source index
+    mm = knn_idx.reshape(-1)                             # target index
+    ok = (mm < n).astype(jnp.float32)
+    mmc = jnp.clip(mm, 0, n - 1)
+    return jax.ops.segment_sum(I[mmc, jj] * ok * sp[jj], mmc, num_segments=n)
 
 
 def xie_propagation_points_plus(pts, eps: float, diffuse: bool = False,
