@@ -327,6 +327,11 @@ def orient_normals_hoppe(pc: np.ndarray, k: int = 10) -> np.ndarray:
     n = len(pc)
     if n == 0:
         return pc
+    signs = native.hoppe_orient_signs(pc[:, :3], pc[:, 3:6], k)
+    if signs is not None:
+        # fully native path: edge dedup + Prim MST + DFS propagation in C++
+        pc[:, 3:6] *= signs[:, None].astype(np.float32)
+        return pc
     xyz = pc[:, :3].astype(np.float64)
     nrm = pc[:, 3:6].astype(np.float64)
     kk = min(k + 1, n)

@@ -46,6 +46,10 @@ def _load():
             ctypes.c_int, ctypes.POINTER(ctypes.c_double), ctypes.c_int8,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ]
+        lib.dn_hoppe_orient.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int8),
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -125,6 +129,28 @@ def bfs_route_csr(indptr: np.ndarray, indices: np.ndarray, start: int):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out, comp
+
+
+def hoppe_orient_signs(xyz: np.ndarray, nrm: np.ndarray, k: int):
+    """Native Hoppe consistent orientation: kNN graph + 1-|n.n| Prim MST +
+    per-component max-z seeding + DFS sign propagation, all in C++
+    (replaces the Python edge-dedup/heapq-MST host stages, VERDICT r3
+    item 5). Returns signs (n,) in {+1, -1}, or None when the library is
+    unavailable (callers keep the Python fallback)."""
+    lib = _load()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(np.asarray(xyz, np.float32)[:, :3])
+    nrm = np.ascontiguousarray(np.asarray(nrm, np.float32)[:, :3])
+    n = len(xyz)
+    out = np.empty(n, np.int8)
+    lib.dn_hoppe_orient(
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nrm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, int(k),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    return out
 
 
 def flip_local_search(M: np.ndarray, x0: np.ndarray, minimize: bool,

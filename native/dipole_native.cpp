@@ -198,6 +198,148 @@ int dn_bfs_route(int n, const int64_t* indptr, const int* indices, int start,
   return components;
 }
 
+// Hoppe consistent tangent-plane orientation (the capability the reference
+// gets from Open3D C++, socket_server.py:40-60), fully native: kNN graph
+// (k+1 incl. self) -> deduped undirected edges weighted 1 - |n_i . n_j| ->
+// Prim MST per component -> each component seeded at its max-z vertex with
+// the normal forced to +z -> depth-first sign propagation along the tree.
+// Replaces the Python seen-set edge loop + heapq MST (the serving host
+// path's hotspot on this 1-core machine). out_sign: +1 keep / -1 flip.
+void dn_hoppe_orient(const float* xyz, const float* nrm, int n, int k,
+                     int8_t* out_sign) {
+  if (n <= 0) return;
+  for (int i = 0; i < n; ++i) out_sign[i] = 1;
+  if (n == 1) {
+    if (nrm[2] < 0) out_sign[0] = -1;
+    return;
+  }
+  int kk = std::min(k + 1, n);
+  std::vector<int> idx((size_t)n * kk);
+  std::vector<float> d2((size_t)n * kk);
+  {
+    KDTree tree(xyz, n);
+    const bool self = true;
+    parallel_for(n, [&](int b, int e) {
+      std::vector<std::pair<float, int>> heap;
+      heap.reserve(kk + 1);
+      for (int i = b; i < e; ++i) {
+        int qi = self ? tree.order[i] : i;
+        tree.query(xyz + 3 * qi, kk, idx.data() + (size_t)qi * kk,
+                   d2.data() + (size_t)qi * kk, heap);
+      }
+    });
+  }
+  // deduped undirected edge list: (min, max) keys, sort + unique
+  std::vector<uint64_t> keys;
+  keys.reserve((size_t)n * kk);
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j < kk; ++j) {
+      int v = idx[(size_t)i * kk + j];
+      if (v == i) continue;
+      uint32_t a = (uint32_t)std::min(i, v), b = (uint32_t)std::max(i, v);
+      keys.push_back(((uint64_t)a << 32) | b);
+    }
+  }
+  std::sort(keys.begin(), keys.end());
+  keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+  size_t ne = keys.size();
+  // adjacency (CSR) over the deduped edges with Hoppe weights
+  std::vector<int> deg(n, 0);
+  for (uint64_t key : keys) {
+    ++deg[(int)(key >> 32)];
+    ++deg[(int)(key & 0xffffffffu)];
+  }
+  std::vector<int64_t> aptr(n + 1, 0);
+  for (int i = 0; i < n; ++i) aptr[i + 1] = aptr[i] + deg[i];
+  std::vector<int> anbr(2 * ne);
+  std::vector<float> awgt(2 * ne);
+  {
+    std::vector<int64_t> cur(aptr.begin(), aptr.end() - 1);
+    for (uint64_t key : keys) {
+      int a = (int)(key >> 32), b = (int)(key & 0xffffffffu);
+      const float* na = nrm + 3 * a;
+      const float* nb = nrm + 3 * b;
+      float w = 1.0f - std::fabs(na[0] * nb[0] + na[1] * nb[1] + na[2] * nb[2]);
+      anbr[cur[a]] = b; awgt[cur[a]] = w; ++cur[a];
+      anbr[cur[b]] = a; awgt[cur[b]] = w; ++cur[b];
+    }
+  }
+  // Prim MST per component (roots scanned 0..n-1, matching the Python
+  // formulation); tree stored as adjacency lists
+  std::vector<int64_t> tptr(n + 1, 0);
+  std::vector<int> tdeg(n, 0);
+  std::vector<std::pair<int, int>> tedges;  // (u, v) accepted MST edges
+  tedges.reserve(n ? n - 1 : 0);
+  {
+    std::vector<uint8_t> visited(n, 0);
+    // heap entries: (w, u, v) — lexicographic like Python's tuple heap
+    struct HE { float w; int u, v; };
+    auto cmp = [](const HE& x, const HE& y) {
+      if (x.w != y.w) return x.w > y.w;
+      if (x.u != y.u) return x.u > y.u;
+      return x.v > y.v;
+    };
+    std::priority_queue<HE, std::vector<HE>, decltype(cmp)> heap(cmp);
+    for (int root = 0; root < n; ++root) {
+      if (visited[root]) continue;
+      visited[root] = 1;
+      for (int64_t j = aptr[root]; j < aptr[root + 1]; ++j)
+        heap.push({awgt[j], root, anbr[j]});
+      while (!heap.empty()) {
+        HE e = heap.top();
+        heap.pop();
+        if (visited[e.v]) continue;
+        visited[e.v] = 1;
+        tedges.emplace_back(e.u, e.v);
+        ++tdeg[e.u];
+        ++tdeg[e.v];
+        for (int64_t j = aptr[e.v]; j < aptr[e.v + 1]; ++j)
+          if (!visited[anbr[j]]) heap.push({awgt[j], e.v, anbr[j]});
+      }
+    }
+  }
+  for (int i = 0; i < n; ++i) tptr[i + 1] = tptr[i] + tdeg[i];
+  std::vector<int> tnbr(2 * tedges.size());
+  {
+    std::vector<int64_t> cur(tptr.begin(), tptr.end() - 1);
+    for (auto& e : tedges) {
+      tnbr[cur[e.first]++] = e.second;
+      tnbr[cur[e.second]++] = e.first;
+    }
+  }
+  // per-component max-z seeding + DFS sign propagation
+  std::vector<uint8_t> visited(n, 0);
+  std::vector<int> order(n);
+  for (int i = 0; i < n; ++i) order[i] = i;
+  // stable: equal-z ties resolve to the lowest index, like np.argmax
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int a, int b) { return xyz[3 * a + 2] > xyz[3 * b + 2]; });
+  std::vector<int> stack;
+  for (int oi = 0; oi < n; ++oi) {
+    int root = order[oi];
+    if (visited[root]) continue;
+    visited[root] = 1;
+    out_sign[root] = nrm[3 * root + 2] < 0 ? -1 : 1;
+    stack.clear();
+    stack.push_back(root);
+    while (!stack.empty()) {
+      int u = stack.back();
+      stack.pop_back();
+      const float* nu = nrm + 3 * u;
+      for (int64_t j = tptr[u]; j < tptr[u + 1]; ++j) {
+        int v = tnbr[j];
+        if (visited[v]) continue;
+        visited[v] = 1;
+        const float* nv = nrm + 3 * v;
+        float d = nu[0] * nv[0] + nu[1] * nv[1] + nu[2] * nv[2];
+        // flip v iff dot(corrected u, raw v) = sign_u * d is negative
+        out_sign[v] = (int8_t)(out_sign[u] * d < 0 ? -1 : 1);
+        stack.push_back(v);
+      }
+    }
+  }
+}
+
 // Iterated local search for the pairwise flip objective
 // obj(x) = sum_ij M_ij * xor(x_i, x_j); minimizes when sign=-1, maximizes +1.
 // x (n) in/out as uint8. Returns achieved objective.

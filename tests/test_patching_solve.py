@@ -193,6 +193,29 @@ def test_hoppe_orientation_multi_component():
     assert agree01 > 0.98
 
 
+def test_hoppe_native_matches_python():
+    """The C++ Hoppe orientation (kNN dedup + Prim MST + DFS propagation,
+    native/dipole_native.cpp dn_hoppe_orient) must reproduce the Python
+    reference path's decisions (VERDICT r3 item 5)."""
+    import pytest
+
+    from dipole_tpu import native
+    from tests.conftest import scramble_signs
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    gt = make_sphere(1500, seed=33)
+    scr, _ = scramble_signs(gt, seed=34)
+    out_native = graphs.orient_normals_hoppe(scr, k=10)
+    orig = native.hoppe_orient_signs
+    try:
+        native.hoppe_orient_signs = lambda *a, **k: None   # force Python path
+        out_py = graphs.orient_normals_hoppe(scr, k=10)
+    finally:
+        native.hoppe_orient_signs = orig
+    assert np.array_equal(out_native, out_py)
+
+
 def test_estimate_keep_orientation():
     from dipole_tpu.ops.estimate import estimate_normals
 
