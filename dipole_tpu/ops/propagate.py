@@ -181,12 +181,19 @@ def greedy_sign_sequence(pts, starting_point: int = 0, eps: float = 1e-6,
             return propagate_pallas.greedy_sign_sequence_pallas_streamed(
                 pts, starting_point, eps
             )
+        if n <= propagate_pallas.MAX_PALLAS_XL:
+            # past the streamed kernel's VMEM state budget: acc/sign planes
+            # HBM-resident too, selection fused into the sweep — single-chip
+            # capacity to 2^24 points at ~1.5x the streamed HBM traffic
+            return propagate_pallas.greedy_sign_sequence_pallas_xl(
+                pts, starting_point, eps
+            )
         # The XLA on-the-fly scan below reproducibly kills the TPU worker
         # past ~262k steps (BASELINE.md large-N table), so falling through
         # here would crash the process, not degrade gracefully.
         raise ValueError(
-            f"per-point greedy at n={n} exceeds the single-chip streamed "
-            f"ceiling ({propagate_pallas.MAX_PALLAS_STREAMED}); use the "
+            f"per-point greedy at n={n} exceeds the single-chip XL ceiling "
+            f"({propagate_pallas.MAX_PALLAS_XL}); use the "
             "representative-point pipeline (api.orient_large) or the "
             "distributed greedy (parallel.sharding.orient_points_multichip)")
     pad = np.full((nb - n, 6), 0.0, np.float32)

@@ -23,7 +23,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["greedy_sign_sequence_pallas", "MAX_PALLAS_GREEDY",
-           "greedy_sign_sequence_pallas_streamed", "MAX_PALLAS_STREAMED"]
+           "greedy_sign_sequence_pallas_streamed", "MAX_PALLAS_STREAMED",
+           "greedy_sign_sequence_pallas_xl", "MAX_PALLAS_XL"]
 
 _SENTINEL = 1.0e6
 # VMEM ceiling for the fully-resident kernel, MEASURED (2026-08-17): the
@@ -432,6 +433,294 @@ def greedy_sign_sequence_pallas_streamed(pts, starting_point: int = 0,
                         np.float32)
         acc8, state8 = _greedy_streamed_padded(planes, jnp.asarray(scal),
                                                acc8, state8)
+        done += ns
+    acc = np.asarray(acc8).reshape(-1)[:n]
+    state = np.asarray(state8).reshape(-1)[:n]
+    sign = np.where(state == -1.0, -1.0, np.where(state == 1.0, 1.0, 0.0))
+    return acc, sign.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# XL greedy: acc/sign state HBM-resident too — capacity past the streamed
+# kernel's VMEM/8-bytes-per-point ceiling (VERDICT r3 item 7)
+# ---------------------------------------------------------------------------
+
+# The streamed kernel keeps acc + state resident in VMEM (8 B/point), which
+# caps it at ~1M points. Here those planes live in HBM as well and are
+# windowed through VMEM panels inside the per-step sweep, so the ceiling
+# becomes flat-index exactness in the f32 carry (2^24) and wall-clock, not
+# memory. Selection is FUSED into the sweep: while chunk k's acc update is
+# written back, its masked (max, min-index) is merged into the next step's
+# winner — one pass over cloud (24 B/pt) + acc (8 B/pt r+w) + state
+# (4 B/pt r) per step instead of the streamed kernel's 24 B/pt, i.e. ~1.5x
+# the HBM traffic as the price of unbounded state.
+MAX_PALLAS_XL = 2**24
+
+
+def _greedy_xl_kernel(scal_ref, pts_hbm, acc_in, state_in, carry_in,
+                      acc_out, state_out, carry_ref):
+    """One SEGMENT of the XL greedy chain (bounded-duration launches, like
+    the streamed kernel).
+
+    scal_ref (1, 6) f32 SMEM: [start, eps, n_real, init_flag, nsteps, 0].
+    pts_hbm (48, M) ANY: six channel planes. acc_in/state_in (8, M) ANY:
+    aliased in place to acc_out/state_out (input_output_aliases) — the
+    greedy state never leaves HBM. carry_in (8, 128) VMEM: [m, c] of the
+    pending selection at lanes (0,0)/(0,1) (c exact in f32 up to 2^24).
+    carry_ref (8, 128) VMEM out: updated [m, c]."""
+    M = acc_out.shape[1]
+    chunk = min(_STREAM_CHUNK, M)
+    while M % chunk:
+        chunk //= 2
+    K = M // chunk
+    start = scal_ref[0, 0].astype(jnp.int32)
+    eps = scal_ref[0, 1]
+    n_real = scal_ref[0, 2].astype(jnp.int32)
+    init_flag = scal_ref[0, 3] > 0.5
+    nsteps = scal_ref[0, 4].astype(jnp.int32)
+
+    crows = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 0)
+    clanes = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 1)
+
+    def flat_chunk(base):
+        return crows * M + base + clanes
+
+    def body(bufs, bsem, apan, asem, acur, span, ssem, cur, csem):
+        currows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        curlanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+        def fetch_point(c):
+            lane = c % M
+            base = (lane // 128) * 128
+            dma = pltpu.make_async_copy(
+                pts_hbm.at[:, pl.ds(base, 128)], cur, csem)
+            dma.start()
+            dma.wait()
+            hit = (currows == c // M) & (curlanes == lane - base)
+
+            def pick(ch):
+                return jnp.sum(jnp.where(hit, cur[ch * 8:(ch + 1) * 8, :], 0.0))
+
+            return (pick(0), pick(1), pick(2), pick(3), pick(4), pick(5))
+
+        def fetch_acc(c):
+            """The winner's accumulated interaction (128-lane panel DMA)."""
+            lane = c % M
+            base = (lane // 128) * 128
+            dma = pltpu.make_async_copy(
+                acc_out.at[:, pl.ds(base, 128)], acur, asem)
+            dma.start()
+            dma.wait()
+            hit = (currows == c // M) & (curlanes == lane - base)
+            return jnp.sum(jnp.where(hit, acur[:, :], 0.0))
+
+        def chunk_dma(slot, k):
+            return pltpu.make_async_copy(
+                pts_hbm.at[:, pl.ds(k * chunk, chunk)],
+                bufs.at[slot], bsem.at[slot])
+
+        def sweep(sv, upd, flip_c, init: bool):
+            """acc[:, k-chunk] (+)= upd * column(sv) for every chunk, fusing
+            the NEXT selection's masked (max, min-index) merge and the
+            winner's state flip (chunk flip_c // chunk only). Returns the
+            merged (m, c). init=True writes acc and builds initial state."""
+            sx, sy, sz, spx, spy, spz = sv
+            chunk_dma(0, 0).start()
+
+            def cbody(k, carry):
+                m, c = carry
+                slot = jax.lax.rem(k, 2)
+
+                @pl.when(k + 1 < K)
+                def _():
+                    chunk_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+                sl = pl.ds(k * chunk, chunk)
+                # acc + state panels for this chunk (skip acc read on init)
+                din = pltpu.make_async_copy(state_in.at[:, sl], span, ssem)
+                din.start()
+                if not init:
+                    ain = pltpu.make_async_copy(
+                        acc_in.at[:, sl], apan.at[1], asem)
+                    ain.start()
+                    ain.wait()
+                din.wait()
+                pltpu.make_async_copy(
+                    pts_hbm.at[:, sl], bufs.at[slot], bsem.at[slot]).wait()
+                buf = bufs[slot]
+                x = buf[0:8, :]
+                y = buf[8:16, :]
+                z = buf[16:24, :]
+                px = buf[24:32, :]
+                py = buf[32:40, :]
+                pz = buf[40:48, :]
+                Rx = sx - x
+                Ry = sy - y
+                Rz = sz - z
+                r2 = Rx * Rx + Ry * Ry + Rz * Rz
+                zero = r2 == 0.0
+                rr = jnp.sqrt(r2)
+                denom = rr * r2 + eps
+                cdot = spx * Rx + spy * Ry + spz * Rz
+                Rn = px * Rx + py * Ry + pz * Rz
+                pn = spx * px + spy * py + spz * pz
+                safe_r2 = jnp.where(zero, 1.0, r2)
+                t = 1.0 / (safe_r2 * denom)
+                col = -t * (3.0 * cdot * Rn - pn * safe_r2)
+                col = jnp.where(zero, 0.0, col)
+                col = jnp.where(jnp.isfinite(col), col, 0.0)
+                fl = flat_chunk(k * chunk)
+                if init:
+                    acc_new = upd * col
+                    state_new = jnp.where(
+                        fl == start, 1.0, jnp.where(fl >= n_real, 2.0, 0.0))
+                else:
+                    acc_new = apan[1] + upd * col
+                    state_new = jnp.where(fl == flip_c, upd, span[:, :])
+                apan[1] = acc_new
+                aout = pltpu.make_async_copy(
+                    apan.at[1], acc_out.at[:, sl], asem)
+                aout.start()
+                # state write-back: init writes every chunk; steps write only
+                # the winner's chunk (the only one that changed)
+                span[:, :] = state_new
+                if init:
+                    sout = pltpu.make_async_copy(
+                        span, state_out.at[:, sl], ssem)
+                    sout.start()
+                    sout.wait()
+                else:
+                    @pl.when((flip_c % M) // chunk == k)
+                    def _():
+                        s2 = pltpu.make_async_copy(
+                            span, state_out.at[:, sl], ssem)
+                        s2.start()
+                        s2.wait()
+                # next-step selection merge over the UPDATED chunk
+                masked = jnp.where(state_new != 0.0, _NEG, jnp.abs(acc_new))
+                lm = jnp.max(masked)
+                lc = jnp.min(jnp.where(masked == lm, fl, _IMAX))
+                c = jnp.where(lm > m, lc,
+                              jnp.where(lm == m, jnp.minimum(c, lc), c))
+                m = jnp.maximum(m, lm)
+                aout.wait()
+                return m, c
+
+            return jax.lax.fori_loop(
+                0, K, cbody, (jnp.float32(-jnp.inf), _IMAX))
+
+        @pl.when(init_flag)
+        def _():
+            m0, c0 = sweep(fetch_point(start), jnp.float32(1.0), -1, True)
+            carry_ref[:, :] = jnp.zeros((8, 128), jnp.float32)
+            carry_ref[0, 0] = m0
+            carry_ref[0, 1] = c0.astype(jnp.float32)
+
+        @pl.when(jnp.logical_not(init_flag))
+        def _():
+            carry_ref[:, :] = carry_in[:, :]
+
+        def step(_, __):
+            m = carry_ref[0, 0]
+            c = carry_ref[0, 1].astype(jnp.int32)
+            live = m > _NEG / 2
+
+            @pl.when(live)
+            def _():
+                acc_c = fetch_acc(c)
+                s = jnp.where(acc_c < 0, -1.0, 1.0)
+                m2, c2 = sweep(fetch_point(c), s, c, False)
+                carry_ref[0, 0] = m2
+                carry_ref[0, 1] = c2.astype(jnp.float32)
+
+            return 0
+
+        jax.lax.fori_loop(0, nsteps, step, 0)
+
+    pl.run_scoped(
+        body,
+        bufs=pltpu.VMEM((2, 48, chunk), jnp.float32),
+        bsem=pltpu.SemaphoreType.DMA((2,)),
+        apan=pltpu.VMEM((2, 8, chunk), jnp.float32),
+        asem=pltpu.SemaphoreType.DMA(()),
+        acur=pltpu.VMEM((8, 128), jnp.float32),
+        span=pltpu.VMEM((8, chunk), jnp.float32),
+        ssem=pltpu.SemaphoreType.DMA(()),
+        cur=pltpu.VMEM((48, 128), jnp.float32),
+        csem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@partial(jax.jit, donate_argnums=(2, 3))
+def _greedy_xl_padded(planes: jnp.ndarray, scal: jnp.ndarray,
+                      acc: jnp.ndarray, state: jnp.ndarray,
+                      carry: jnp.ndarray):
+    M = planes.shape[1]
+    return pl.pallas_call(
+        _greedy_xl_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, M), jnp.float32),
+            jax.ShapeDtypeStruct((8, M), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        input_output_aliases={2: 0, 3: 1},
+        grid=(),
+    )(scal, planes, acc, state, carry)
+
+
+# XL segments pay ~1.5x the streamed kernel's HBM traffic per step, so the
+# per-launch pair budget is halved to keep launch durations in the same
+# measured-safe band (9-17 s).
+SEG_WORK_XL = 2**33
+
+
+def greedy_sign_sequence_pallas_xl(pts, starting_point: int = 0,
+                                   eps: float = 1e-6):
+    """(acc, sign) past the streamed kernel's ceiling: cloud AND greedy
+    state stream through VMEM from HBM; nothing about the cloud size is
+    VMEM-resident. Same decision semantics as every other greedy path
+    (ties to the lowest flat index). Ceiling: MAX_PALLAS_XL (f32-exact
+    flat indices in the carry)."""
+    pts = np.asarray(pts, np.float32)
+    n = len(pts)
+    if n > MAX_PALLAS_XL:
+        raise ValueError(f"n={n} exceeds MAX_PALLAS_XL={MAX_PALLAS_XL}")
+    if n > 65536:
+        nb = -(-n // 65536) * 65536
+    else:
+        nb = _bucket(max(n, 1024))
+    M = nb // 8
+    planes = np.zeros((48, M), np.float32)
+    for ch in range(6):
+        col = np.full(nb, _SENTINEL if ch < 3 else 0.0, np.float32)
+        col[:n] = pts[:, ch]
+        planes[ch * 8:(ch + 1) * 8] = col.reshape(8, M)
+    planes = jnp.asarray(planes)
+    acc8 = jnp.zeros((8, M), jnp.float32)
+    state8 = jnp.zeros((8, M), jnp.float32)
+    carry = jnp.zeros((8, 128), jnp.float32)
+    total = nb - 1
+    seg = max(1, SEG_WORK_XL // M)
+    done = 0
+    while done < total:
+        ns = min(seg, total - done)
+        scal = np.array([[float(starting_point), eps, float(n),
+                          1.0 if done == 0 else 0.0, float(ns), 0.0]],
+                        np.float32)
+        acc8, state8, carry = _greedy_xl_padded(
+            planes, jnp.asarray(scal), acc8, state8, carry)
         done += ns
     acc = np.asarray(acc8).reshape(-1)[:n]
     state = np.asarray(state8).reshape(-1)[:n]

@@ -112,6 +112,48 @@ def test_pallas_greedy_streamed_multisegment_interpret(monkeypatch):
     assert np.allclose(acc_p, np.asarray(acc_s), rtol=1e-3, atol=1e-2)
 
 
+def test_pallas_greedy_xl_matches_scan_interpret():
+    """XL greedy (acc/sign state HBM-resident, selection fused into the
+    sweep — capacity past the streamed kernel's VMEM state budget,
+    VERDICT r3 item 7): same decisions as the XLA scan, including a
+    nonzero start point and multi-segment launches (the f32 [m, c] carry
+    crosses launch boundaries)."""
+    import os
+
+    from dipole_tpu.ops import propagate, propagate_pallas
+    from tests.conftest import make_sphere, scramble_signs
+
+    pc, _ = scramble_signs(make_sphere(500, seed=31), seed=32)
+    with pltpu.force_tpu_interpret_mode():
+        acc_p, sign_p = propagate_pallas.greedy_sign_sequence_pallas_xl(
+            pc, starting_point=7, eps=1e-6)
+    os.environ["DIPOLE_TPU_NO_PALLAS"] = "1"
+    try:
+        acc_s, sign_s = propagate.greedy_sign_sequence(
+            pc, starting_point=7, matrix_limit=0)
+    finally:
+        os.environ.pop("DIPOLE_TPU_NO_PALLAS")
+    assert (np.asarray(sign_s) == sign_p).all()
+    np.testing.assert_allclose(acc_p, np.asarray(acc_s), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_greedy_xl_multisegment_interpret(monkeypatch):
+    """Segmented XL launches must be bit-identical to one launch."""
+    from dipole_tpu.ops import propagate_pallas
+    from tests.conftest import make_sphere, scramble_signs
+
+    pc, _ = scramble_signs(make_sphere(300, seed=41), seed=42)
+    with pltpu.force_tpu_interpret_mode():
+        acc_one, sign_one = propagate_pallas.greedy_sign_sequence_pallas_xl(
+            pc, starting_point=3, eps=1e-6)
+    monkeypatch.setattr(propagate_pallas, "SEG_WORK_XL", 37 * 128)
+    with pltpu.force_tpu_interpret_mode():
+        acc_seg, sign_seg = propagate_pallas.greedy_sign_sequence_pallas_xl(
+            pc, starting_point=3, eps=1e-6)
+    assert np.array_equal(sign_one, sign_seg)
+    assert np.array_equal(acc_one, acc_seg)
+
+
 def _scan_knn_with_dist(pos_dst, pos_src, k):
     """The reference k-step argmin scan (models/pointcnn semantics)."""
     import jax.numpy as jnp
