@@ -25,23 +25,41 @@ from dipole_tpu.utils.io import Transform, orient_center_np
 from dipole_tpu.utils.timing import timer_factory
 
 __all__ = ["orient", "orient_simple", "orient_simple_batch", "orient_patches",
-           "orient_large", "transfer_orientation", "MAX_PATCH_SIZE"]
+           "orient_large", "transfer_orientation", "MAX_PATCH_SIZE",
+           "resolve_mesh", "stage_mesh", "AutoMesh"]
 
 MAX_PATCH_SIZE = 500  # representatives per patch (reference orient_large.py:14)
 
 
+class AutoMesh:
+    """Marker for --mesh auto: the mesh is available, but each stage decides
+    sharded vs single-chip from the measured decision table (stage_mesh)."""
+
+    __slots__ = ("mesh",)
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __repr__(self):
+        return f"AutoMesh({self.mesh!r})"
+
+
 def resolve_mesh(mesh):
-    """Accept a Mesh, a device count (int), 'auto' (all devices), or None.
+    """Accept a Mesh, a device count (int), 'auto', or None.
 
     The CLIs/server pass the --mesh flag / DIPOLE_TPU_MESH env value here;
     programmatic callers can hand a prebuilt jax.sharding.Mesh directly.
-    None and a count of <=1 mean single-device (mesh code paths bypassed)."""
+    None and a count of <=1 mean single-device (mesh code paths bypassed).
+    An explicit Mesh/count FORCES the sharded path everywhere; 'auto'
+    returns an AutoMesh marker and each stage picks sharded vs single-chip
+    per the measured decision table (stage_mesh)."""
     if mesh is None:
         return None
     from jax.sharding import Mesh
 
-    if isinstance(mesh, Mesh):
-        return mesh if mesh.devices.size > 1 else None
+    if isinstance(mesh, (Mesh, AutoMesh)):
+        m = mesh.mesh if isinstance(mesh, AutoMesh) else mesh
+        return mesh if m.devices.size > 1 else None
     from dipole_tpu.parallel.sharding import make_mesh
 
     if isinstance(mesh, str):
@@ -49,13 +67,62 @@ def resolve_mesh(mesh):
             return None
         if mesh.strip().lower() == "auto":
             m = make_mesh()
-            return m if m.devices.size > 1 else None
+            return AutoMesh(m) if m.devices.size > 1 else None
         mesh = int(mesh)
     if isinstance(mesh, (int, np.integer)):
         if mesh <= 1:
             return None
         return make_mesh(int(mesh))
     raise ValueError(f"cannot resolve mesh from {mesh!r}")
+
+
+# Single-chip point capacity of the sequential greedy (the streamed/XL
+# Pallas chain; BASELINE.md large-N table + propagate_pallas.MAX_PALLAS_XL).
+# Auto-mesh only reaches for the distributed loop past it — the loop's
+# measured use-case is capacity, not speed (per-step cost RISES with device
+# count: 1.31 -> 1.67 ms/step at D=2 -> 8 on the 8-way mesh).
+def _greedy_single_chip_max() -> int:
+    if fields._pallas_enabled():
+        from dipole_tpu.ops import propagate_pallas
+
+        return propagate_pallas.MAX_PALLAS_XL
+    # no Pallas (CPU/debug): the XLA scan has O(N) state and no capacity
+    # cliff; the distributed loop measured 45x slower at 2k on the CPU mesh
+    return 2**62
+
+
+def stage_mesh(mesh, stage: str, n: int | None = None):
+    """Per-stage mesh selection for --mesh auto (VERDICT r3 item 6).
+
+    Explicit meshes pass through unchanged (the user forced sharding).
+    Under AutoMesh the measured decision table applies
+    (tools/mesh_auto_bench.py on the 8-way virtual CPU mesh, 2026-08-18,
+    + the round-3 large-N tables in BASELINE.md):
+
+    | stage    | measurement                                | auto picks |
+    |----------|--------------------------------------------|------------|
+    | greedy   | 2k: 0.23 vs 10.2 s; 8k: 2.9 vs 7.5 s;      | single     |
+    |          | per-step cost rises with device count      | chip up to |
+    |          | (collective-bound sequential chain)        | capacity   |
+    | patch    | 10k/8 patches: 2.7 vs 7.3 s                | single     |
+    | replay   | 2k/T=3: 1.0 vs 7.5 s                       | single     |
+    | sign_fix | 100k: 2.8 vs 4.0 s                         | single     |
+    | ensemble | 16 patches: 3.9 vs 2.8 s (sharded wins)    | sharded    |
+    | field    | 65k x 8k: 24.4 vs 17.5 s (sharded wins)    | sharded    |
+
+    The sequential/cascade stages are collective-bound (4+ collectives per
+    step); the embarrassingly-parallel stages scale. Capacity overrides
+    speed: past the single-chip greedy ceiling the distributed loop is the
+    only path, so auto switches to it there."""
+    if mesh is None:
+        return None
+    if not isinstance(mesh, AutoMesh):
+        return mesh
+    if stage in ("ensemble", "field"):
+        return mesh.mesh
+    if stage == "greedy" and n is not None and n > _greedy_single_chip_max():
+        return mesh.mesh
+    return None
 
 
 def _as_models(models):
@@ -96,11 +163,13 @@ def orient_simple(points, diffuse: bool = False, estimate: bool = False,
 
     input_pc, transform = Transform.trans(input_pc)
 
-    if mesh is not None:
+    greedy_mesh = stage_mesh(mesh, "greedy", len(input_pc))
+    if greedy_mesh is not None:
         from dipole_tpu.parallel.sharding import orient_points_multichip
 
         with stage_timer("dipole propagation (multichip)"):
-            input_pc = orient_points_multichip(input_pc, mesh, diffuse=diffuse,
+            input_pc = orient_points_multichip(input_pc, greedy_mesh,
+                                               diffuse=diffuse,
                                                starting_point=0)
         return transform.inverse(input_pc)
 
@@ -204,7 +273,8 @@ def orient_patches(points, models=(), iters: int = 100,
     def propagate_now():
         return propagate.strongest_field_propagation_patches(
             input_pc, patch_indices, all_patches, diffuse=diffuse,
-            weights=pc_probs if weighted_prop else None, mesh=mesh,
+            weights=pc_probs if weighted_prop else None,
+            mesh=stage_mesh(mesh, "patch", len(input_pc)),
         )
 
     for it in range(iters):
@@ -217,7 +287,8 @@ def orient_patches(points, models=(), iters: int = 100,
                     lambda put: jax.random.split(put(key)))
                 votes = ensemble_vote_patches(
                     models, [input_pc[pidx] for _, pidx in patch_indices],
-                    key=sub, mesh=mesh, torch_rng=rng_stream,
+                    key=sub, mesh=stage_mesh(mesh, "ensemble"),
+                    torch_rng=rng_stream,
                     vote_starts=vote_starts,
                 )
                 for (_, pidx), (flip, probs) in zip(patch_indices, votes):
@@ -233,7 +304,8 @@ def orient_patches(points, models=(), iters: int = 100,
     with stage_timer("patch propagation"):
         input_pc = propagate_now()
 
-    input_pc = _sign_fix(input_pc, stage_timer, mesh=mesh)
+    input_pc = _sign_fix(input_pc, stage_timer,
+                         mesh=stage_mesh(mesh, "sign_fix"))
     return transform.inverse(input_pc)
 
 
@@ -295,7 +367,8 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
             key, sub = derive_keys_cpu(
                 lambda put: jax.random.split(put(key)))
             votes = ensemble_vote_patches(
-                models, [input_pc[r] for r in rep_sets], key=sub, mesh=mesh,
+                models, [input_pc[r] for r in rep_sets], key=sub,
+                mesh=stage_mesh(mesh, "ensemble"),
                 vote_starts=vote_starts,
             )
             for reps, (flip, probs) in zip(rep_sets, votes):
@@ -304,10 +377,12 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
 
     with stage_timer("dipole propagation"):
         input_pc = propagate.strongest_field_propagation_reps(
-            input_pc, represent, diffuse=True, mesh=mesh
+            input_pc, represent, diffuse=True,
+            mesh=stage_mesh(mesh, "patch", len(input_pc))
         )
 
-    input_pc = _sign_fix(input_pc, stage_timer, mesh=mesh)
+    input_pc = _sign_fix(input_pc, stage_timer,
+                         mesh=stage_mesh(mesh, "sign_fix"))
     return transform.inverse(input_pc)
 
 

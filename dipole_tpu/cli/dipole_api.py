@@ -60,8 +60,11 @@ def get_parser():
 
 
 def main(argv=None):
+    from dipole_tpu.utils.warmup import ensure_warm
+
     opts = get_parser().parse_args(argv)
     Path(opts.export_dir).mkdir(parents=True, exist_ok=True)
+    ensure_warm()  # warm-by-default first run (no-op once per machine)
     orient_large(opts)
 
 

@@ -48,6 +48,9 @@ def main(argv=None):
     opts = config.get_parser().parse_args(argv)
     opts.export_dir.mkdir(exist_ok=True, parents=True)
     config.export_options(opts)
+    from dipole_tpu.utils.warmup import ensure_warm
+
+    ensure_warm()  # warm-by-default first run (no-op once per machine)
     run(opts)
 
 

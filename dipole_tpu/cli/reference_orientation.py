@@ -51,7 +51,11 @@ def get_parser():
 
 
 def main(argv=None):
-    run(get_parser().parse_args(argv))
+    from dipole_tpu.utils.warmup import ensure_warm
+
+    opts = get_parser().parse_args(argv)
+    ensure_warm()  # warm-by-default first run (no-op once per machine)
+    run(opts)
 
 
 if __name__ == "__main__":

@@ -39,11 +39,14 @@ def _prep(xyz_data: np.ndarray, max_nn: int):
 
 
 def _finish(pc: np.ndarray, transform: Transform) -> np.ndarray:
-    if _MESH is not None:
+    from dipole_tpu.api import stage_mesh
+
+    m = stage_mesh(_MESH, "sign_fix")
+    if m is not None:
         from dipole_tpu.parallel.sharding import potential_sharded
         from dipole_tpu.utils.io import gen_grid
 
-        mean = float(potential_sharded(pc, gen_grid(10), _MESH).mean())
+        mean = float(potential_sharded(pc, gen_grid(10), m).mean())
     else:
         mean = fields.measure_mean_potential(pc)
     if mean < 0:
@@ -52,12 +55,15 @@ def _finish(pc: np.ndarray, transform: Transform) -> np.ndarray:
 
 
 def simple_estimate(xyz_data, config):
+    from dipole_tpu.api import stage_mesh
+
     pc, transform = _prep(xyz_data, max_nn=30)
-    if _MESH is not None:
+    m = stage_mesh(_MESH, "greedy", len(pc))
+    if m is not None:
         from dipole_tpu.parallel.sharding import orient_points_multichip
 
         # propagation + sign fix in one sharded pass (identical decisions)
-        pc = orient_points_multichip(pc, _MESH,
+        pc = orient_points_multichip(pc, m,
                                      diffuse=config.get("diffuse", True),
                                      starting_point=0)
         return transform.inverse(pc).astype(np.float64)
@@ -76,12 +82,14 @@ def xie_propagation(xyz_data, config):
 
 
 def tree_xie_propagation(xyz_data, config):
+    from dipole_tpu.api import stage_mesh
+
     pc, transform = _prep(xyz_data, max_nn=config["max_nn"])
     pc, _ = propagate.xie_propagation_bfs_tree(
         pc, eps=config["eps"], diffuse=config["diffuse"],
         times=config["times"], starting_point=0,
         knn_mask=config.get("knn_mask", -1), C=config.get("C", 3),
-        mesh=_MESH,
+        mesh=stage_mesh(_MESH, "replay", len(pc)),
     )
     return _finish(pc, transform)
 
@@ -125,13 +133,16 @@ def dispatch(function_name: str, xyz_data: np.ndarray, config: dict,
         out = np.ones((len(xyz_data), 6))
         out[:, :3] = xyz_data
         return out
+    from dipole_tpu.api import stage_mesh
+
     if batcher is not None and function_name == "simple_estimate" \
-            and _MESH is None:
+            and stage_mesh(_MESH, "greedy", len(xyz_data)) is None:
         from dipole_tpu.serve.batching import batched_simple_estimate
 
         return batched_simple_estimate(batcher, xyz_data, config)
     if batcher is not None and function_name == "tree_xie_propagation" \
-            and _MESH is None and config.get("knn_mask", -1) <= 0:
+            and stage_mesh(_MESH, "replay", len(xyz_data)) is None \
+            and config.get("knn_mask", -1) <= 0:
         from dipole_tpu.serve.batching import batched_tree_xie
 
         return batched_tree_xie(batcher, xyz_data, config)

@@ -97,6 +97,36 @@ def test_vote_starts_flag_parses_and_threads(tiny_cloud, tmp_path, monkeypatch):
     assert seen["vote_starts"] == 2
 
 
+def test_autowarm_gating(tmp_path, monkeypatch):
+    """ensure_warm: CPU backends skip; the env hatch skips; on a TPU
+    backend it runs the warm set once and the marker makes later calls
+    no-ops (VERDICT r3 item 8)."""
+    from dipole_tpu.utils import warmup
+
+    monkeypatch.setenv("DIPOLE_TPU_CACHE_DIR", str(tmp_path))
+    # CPU (the test backend): no warm, no marker
+    assert warmup.ensure_warm(quiet=True) is False
+    assert not warmup.marker_path().exists()
+
+    # fake TPU backend + stubbed warm set
+    class Dev:
+        platform = "tpu"
+
+    import jax
+
+    monkeypatch.setattr(jax, "devices", lambda *a: [Dev()])
+    calls = []
+    monkeypatch.setattr(warmup, "_warm_simple", lambda: calls.append(1))
+    monkeypatch.setenv("DIPOLE_TPU_NO_AUTOWARM", "1")
+    assert warmup.ensure_warm(quiet=True) is False    # escape hatch
+    monkeypatch.delenv("DIPOLE_TPU_NO_AUTOWARM")
+    assert warmup.ensure_warm(quiet=True) is True
+    assert calls == [1]
+    assert warmup.marker_path().exists()
+    assert warmup.ensure_warm(quiet=True) is False    # marker short-circuit
+    assert calls == [1]
+
+
 def test_vote_starts_warns_above_one():
     """--vote_starts > 1 is a measured footgun (hand 0.8991 at S=3 vs
     0.9379 at S=1, BASELINE.md) — the parser warns at parse time; S=1 is

@@ -266,7 +266,50 @@ def test_resolve_mesh():
     assert m is not None and m.devices.size == 8
     assert resolve_mesh(m) is m
     auto = resolve_mesh("auto")
-    assert auto is not None and auto.devices.size == len(jax.devices())
+    from dipole_tpu.api import AutoMesh
+
+    assert isinstance(auto, AutoMesh)
+    assert auto.mesh.devices.size == len(jax.devices())
+    assert resolve_mesh(auto) is auto
     assert resolve_mesh("4").devices.size == 4
     with pytest.raises(ValueError):
         resolve_mesh(3.5)
+
+
+def test_stage_mesh_decision_table(mesh):
+    """--mesh auto per-stage selection (VERDICT r3 item 6): explicit meshes
+    force sharding; auto keeps the collective-bound sequential stages
+    single-chip up to capacity and shards the throughput stages — the
+    winners measured by tools/mesh_auto_bench.py (2026-08-18 CPU-mesh run,
+    table in api.stage_mesh's docstring)."""
+    from dipole_tpu import api
+
+    am = api.AutoMesh(mesh)
+    assert api.stage_mesh(None, "greedy", 100) is None
+    # explicit: forced everywhere
+    for stage in ("greedy", "patch", "replay", "sign_fix", "ensemble"):
+        assert api.stage_mesh(mesh, stage, 10_000) is mesh
+    # auto: single-chip winners stay single-chip
+    for stage in ("greedy", "patch", "replay", "sign_fix"):
+        assert api.stage_mesh(am, stage, 10_000) is None
+    # auto: sharded winners shard
+    for stage in ("ensemble", "field"):
+        assert api.stage_mesh(am, stage) is mesh
+    # capacity overrides speed for the greedy
+    assert api.stage_mesh(am, "greedy",
+                          api._greedy_single_chip_max() + 1) is mesh
+
+
+def test_orient_simple_auto_mesh_matches_single(mesh):
+    """mesh='auto' end-to-end: the small-N pipeline must route to the
+    single-chip paths and produce identical output."""
+    from dipole_tpu import api
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(256, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pc = np.concatenate([v, v], axis=1).astype(np.float32)
+    out_auto = api.orient_simple(pc.copy(), diffuse=True,
+                                 mesh=api.AutoMesh(mesh))
+    out_single = api.orient_simple(pc.copy(), diffuse=True)
+    assert np.array_equal(out_auto, out_single)
