@@ -1,8 +1,7 @@
 #!/bin/bash
-# hand with the 6-model mix (shipped reference trio + first-party trained
-# trio, pre_trained_tpu/) — the supported config for this hard shape:
-# deterministic 0.9874 GT agreement vs 0.9379 for the 3-vote trio
-# (demos/hand.sh) and 0.9849 for the reference's own best (BASELINE.md).
+# hand with the 6-model mix — since round 4 this IS demos/hand.sh's default
+# (deterministic 0.9874 GT vs the reference's own fresh-run 0.9849); kept as
+# an explicit alias that always uses the mix regardless of MODELS overrides.
 source "$(dirname "$0")/common.sh"
 python -m dipole_tpu.cli.orient_pointcloud \
   --pc $REF/data/hand.xyz --export_dir $OUT/hand_mix \

@@ -1,9 +1,11 @@
 #!/bin/bash
-# reference demos/ok.sh analog: patch pipeline + PointCNN ensemble
+# reference demos/ok.sh analog: patch pipeline + PointCNN ensemble.
+# Defaults to the 6-model mix: deterministic 0.9856 GT vs 0.9808 for the
+# shipped trio (BASELINE.md r4 table).
 source "$(dirname "$0")/common.sh"
 python -m dipole_tpu.cli.orient_pointcloud \
   --pc $REF/data/ok.xyz --export_dir $OUT/ok \
-  --models $MODELS \
+  --models $MODELS_MIX \
   --iters 10 --propagation_iters 5 --number_parts 30 \
   --minimum_points_per_patch 100 --curvature_threshold 0.01 \
   --diffuse --weighted_prop --estimate_normals

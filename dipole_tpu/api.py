@@ -216,7 +216,8 @@ def orient_patches(points, models=(), iters: int = 100,
                    weighted_prop: bool = False, estimate: bool = False,
                    n: int = 30, timer=None, mesh=None,
                    torch_rng: int | None = None,
-                   vote_starts: int = 1) -> np.ndarray:
+                   vote_starts: int = 1,
+                   fps_starts: str = "rng") -> np.ndarray:
     """Patch pipeline with PointCNN ensemble correction (reference
     orient_pointcloud.py:11-83): voxel patches -> curvature filter ->
     orient_center -> iterate {ensemble votes, periodic patch propagation} ->
@@ -231,12 +232,20 @@ def orient_patches(points, models=(), iters: int = 100,
 
     vote_starts: FPS-start ensembling — each model votes this many times
     with independent FPS starts (models/inference.ensemble_vote_patches);
-    1 = reference semantics."""
+    1 = reference semantics.
+
+    fps_starts: 'rng' (reference semantics) or 'centroid' — deterministic
+    patch-centroid-nearest FPS starts (pointcnn.centroid_starts), removing
+    start noise from the ensemble entirely."""
     import jax
 
     if torch_rng is not None and int(vote_starts) != 1:
         raise ValueError("vote_starts > 1 is incompatible with torch_rng "
                          "replay (one start per model by definition)")
+    if torch_rng is not None and fps_starts != "rng":
+        raise ValueError("fps_starts='centroid' is incompatible with "
+                         "torch_rng replay (the replayed stream defines "
+                         "the starts)")
     stage_timer = timer or timer_factory()
     mesh = resolve_mesh(mesh)
     rng_stream = None
@@ -290,6 +299,7 @@ def orient_patches(points, models=(), iters: int = 100,
                     key=sub, mesh=stage_mesh(mesh, "ensemble"),
                     torch_rng=rng_stream,
                     vote_starts=vote_starts,
+                    fps_starts=fps_starts,
                 )
                 for (_, pidx), (flip, probs) in zip(patch_indices, votes):
                     probs = probs.copy()
@@ -313,7 +323,7 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
                  minimum_points_per_patch: int = 21,
                  curvature_threshold: float = 0.0, estimate: bool = False,
                  n: int = 30, seed: int = 1, timer=None, mesh=None,
-                 vote_starts: int = 1) -> np.ndarray:
+                 vote_starts: int = 1, fps_starts: str = "rng") -> np.ndarray:
     """Large clouds via <=500 representative points per patch (reference
     orient_large.py:10-90). NOTE pipeline-order parity: normals are estimated
     AFTER normalization here (the reference does the same only in this
@@ -370,6 +380,7 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
                 models, [input_pc[r] for r in rep_sets], key=sub,
                 mesh=stage_mesh(mesh, "ensemble"),
                 vote_starts=vote_starts,
+                fps_starts=fps_starts,
             )
             for reps, (flip, probs) in zip(rep_sets, votes):
                 pc_probs[reps] = probs

@@ -35,6 +35,7 @@ def run(opts):
         estimate=opts.estimate_normals, n=opts.n, timer=stage_timer,
         mesh=getattr(opts, "mesh", None),
         vote_starts=getattr(opts, "vote_starts", 1),
+        fps_starts=getattr(opts, "fps_starts", "rng"),
     )
 
     with stage_timer("export oriented cloud", count=False):

@@ -33,6 +33,7 @@ def run(opts):
         mesh=getattr(opts, "mesh", None),
         torch_rng=getattr(opts, "torch_rng", None),
         vote_starts=getattr(opts, "vote_starts", 1),
+        fps_starts=getattr(opts, "fps_starts", "rng"),
     )
 
     stage_timer.print_total_time()

@@ -92,7 +92,8 @@ def ensemble_vote(models, patch, key=None):
 
 
 def ensemble_vote_patches(models, patches, key=None, mesh=None,
-                          torch_rng=None, vote_starts: int = 1):
+                          torch_rng=None, vote_starts: int = 1,
+                          fps_starts: str = "rng"):
     """Ensemble-vote many ragged patches at once: patches are grouped into
     shared padded buckets and each model runs one vmapped forward per group
     (instead of len(models) * len(patches) sequential dispatches). Exact
@@ -116,12 +117,18 @@ def ensemble_vote_patches(models, patches, key=None, mesh=None,
     replaying the torch pipeline's randomness bit-exactly. The stream is
     stateful: the same generator must be passed across iterations.
     Incompatible with vote_starts > 1 (the replay defines one start per
-    model)."""
+    model).
+
+    fps_starts: 'rng' (reference semantics — one key-derived random start
+    per model per patch) or 'centroid' (deterministic geometry-derived
+    starts, pointcnn.centroid_starts: every model anchors at the
+    patch-centroid-nearest point — no start noise at all)."""
     import math
 
     import jax
 
-    from dipole_tpu.models.pointcnn import (_bucket, derive_keys_cpu,
+    from dipole_tpu.models.pointcnn import (_bucket, centroid_starts,
+                                            derive_keys_cpu,
                                             pointcnn_logits_batched)
 
     patches = [np.asarray(p) for p in patches]
@@ -132,6 +139,16 @@ def ensemble_vote_patches(models, patches, key=None, mesh=None,
         raise ValueError("vote_starts > 1 is incompatible with the torch_rng "
                          "replay (the replayed stream defines exactly one "
                          "start per model per patch)")
+    if fps_starts not in ("rng", "centroid"):
+        raise ValueError(f"fps_starts must be 'rng' or 'centroid', "
+                         f"got {fps_starts!r}")
+    if fps_starts == "centroid" and torch_rng is not None:
+        raise ValueError("fps_starts='centroid' is incompatible with the "
+                         "torch_rng replay (the replayed stream defines the "
+                         "starts)")
+    if fps_starts == "centroid" and vote_starts != 1:
+        raise ValueError("vote_starts > 1 needs random starts; "
+                         "fps_starts='centroid' defines exactly one")
     if key is None:
         key = jax.random.PRNGKey(0)
     # one shared bucket for the whole call: a little padding waste buys a
@@ -155,6 +172,8 @@ def ensemble_vote_patches(models, patches, key=None, mesh=None,
         # the reference re-canonicalizes per model call but the input and
         # recipe are identical each time)
         canon = [_canon_reference(p) for p in patches]
+
+    det_starts = centroid_starts(patches) if fps_starts == "centroid" else None
 
     n_votes = len(models) * vote_starts
     probs_per_vote = [[None] * len(patches) for _ in range(n_votes)]
@@ -192,12 +211,18 @@ def ensemble_vote_patches(models, patches, key=None, mesh=None,
                 gkey = derive_keys_cpu(
                     lambda put, sk=skey, bb=b: jax.random.fold_in(put(sk), bb))
                 src = patches if canon is None else canon
+                if starts is not None:
+                    st = starts[mi][idxs]
+                elif det_starts is not None:
+                    st = det_starts[idxs]
+                else:
+                    st = None
                 outs = pointcnn_logits_batched(
                     model.params, model.pool, [src[i] for i in idxs],
                     key=gkey, bucket=b, mesh=mesh,
-                    starts=None if starts is None else starts[mi][idxs],
+                    starts=st,
                     precanon=canon is not None,
-                    prepared=(None if starts is not None
+                    prepared=(None if canon is not None
                               else _prepared_for(b, idxs, model.pool)),
                 )
                 for i, logits in zip(idxs, outs):

@@ -530,6 +530,55 @@ def _forward_batched_sharded(mesh, m1: int, m2: int):
     return fn
 
 
+_SHARDED_STARTS_CACHE: dict = {}
+
+
+def _forward_batched_starts_sharded(mesh, m1: int, m2: int):
+    """shard_map'd explicit-starts forward (deterministic FPS starts under a
+    mesh): the batch axis is sharded like _forward_batched_sharded, with the
+    per-patch start indices sharded alongside. Per-patch math is identical to
+    _forward_batched_starts."""
+    from jax.sharding import PartitionSpec as P
+
+    cache_key = (id(mesh), m1, m2)
+    fn = _SHARDED_STARTS_CACHE.get(cache_key)
+    if fn is not None:
+        return fn
+    axis = mesh.axis_names[0]
+
+    @partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+    )
+    def run(p, pc, valid, s1, s2, pool):
+        x, pos1 = jax.vmap(_canonicalize)(pc, valid)
+        return _batched_core(p, x, pos1, valid, pool, m1, m2, s1, s2)
+
+    fn = jax.jit(run)
+    _SHARDED_STARTS_CACHE[cache_key] = fn
+    return fn
+
+
+def centroid_starts(patches) -> np.ndarray:
+    """Deterministic geometry-derived FPS starts (no RNG): stage 1 starts at
+    the patch point nearest the patch centroid — invariant under the
+    canonicalization (a rotation + uniform scale about that same centroid),
+    under point order (ties broken by lowest index are the only order
+    sensitivity, and exact coordinate ties at the argmin are measure-zero),
+    and under --models order. Stage 2 starts at pooled index 0, which IS the
+    stage-1 start (FPS emits its start first), so both stages anchor on the
+    same central point. Replaces the reference's torch.randint draws
+    (reference models/pointcnn.py:68,73) whose start noise swings hard
+    shapes by whole percents (BASELINE.md hand band)."""
+    st = np.zeros((len(patches), 2), np.int32)
+    for i, p in enumerate(patches):
+        xyz = np.asarray(p, np.float32)[:, :3]
+        d = xyz - xyz.mean(axis=0)
+        st[i, 0] = int(np.argmin(np.einsum("ij,ij->i", d, d)))
+    return st
+
+
 def prepare_patch_batches(patches, bucket: int, width: int, n_dev: int = 1):
     """Pad patches into device-resident (pc, valid) chunk buffers ONCE.
 
@@ -578,7 +627,8 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
     prepared: optional result of prepare_patch_batches(patches, bucket,
     width, n_dev) for this call's exact bucket/width — skips the per-call
     pad + upload (the ensemble loop shares one prepared list across all
-    models of the same chunk width). Ignored on the starts path."""
+    models of the same chunk width). Ignored on the precanon replay path
+    (whose buffers carry the host-side canonicalization)."""
     patches = [np.asarray(p, np.float32) for p in patches]
     if not patches:
         return []
@@ -588,17 +638,36 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
     m1 = int(-(-nb * pool // 1))
     m2 = int(-(-m1 * pool // 1))
 
-    # the starts/replay path has no sharded program — keep its chunk width
-    # single-device (a mesh passed alongside starts is ignored rather than
-    # inflating the un-sharded program n_dev-fold past the compile budget)
-    n_dev = int(mesh.devices.size) if mesh is not None and starts is None else 1
+    # the precanon replay path has no sharded program — keep its chunk
+    # width single-device (a mesh passed alongside it is ignored rather
+    # than inflating the un-sharded program n_dev-fold past the compile
+    # budget); the plain explicit-starts path (deterministic FPS starts)
+    # shards over the mesh exactly like the key-derived path
+    n_dev = int(mesh.devices.size) if mesh is not None and not precanon else 1
     width = _forward_width(nb, pool) * n_dev
     results: list = [None] * len(patches)
 
+    def _check_prepared(prep):
+        covered = sum(len(lens) for *_, lens in prep)
+        if covered != len(patches):
+            raise ValueError(
+                f"prepared batches cover {covered} patches, call has "
+                f"{len(patches)} (bucket/width mismatch?)")
+        for pc_d, *_ in prep:
+            if int(pc_d.shape[1]) != nb:
+                raise ValueError(
+                    f"prepared buffers were padded to bucket "
+                    f"{int(pc_d.shape[1])} but this call uses bucket {nb} "
+                    f"— stale prepared cache")
+
     if starts is not None:
         starts = np.asarray(starts, np.int32)
-        for pc_d, valid_d, lo, lens in prepare_patch_batches(
-                patches, nb, width):
+        if precanon or prepared is None:
+            batches = prepare_patch_batches(patches, nb, width, n_dev)
+        else:
+            batches = prepared
+            _check_prepared(batches)
+        for pc_d, valid_d, lo, lens in batches:
             Bp = int(pc_d.shape[0])
             st = np.zeros((Bp, 2), np.int32)
             st[: len(lens)] = starts[lo:lo + len(lens)]
@@ -612,6 +681,11 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
                         valid_d, jnp.asarray(st[:, 0]),
                         jnp.asarray(st[:, 1]), jnp.float32(pool), m1, m2)
                 )
+            elif mesh is not None:
+                fwd = _forward_batched_starts_sharded(mesh, m1, m2)
+                out = np.asarray(
+                    fwd(params, pc_d, valid_d, jnp.asarray(st[:, 0]),
+                        jnp.asarray(st[:, 1]), jnp.float32(pool)))
             else:
                 out = np.asarray(
                     _forward_batched_starts(params, pc_d, valid_d,
@@ -627,16 +701,8 @@ def pointcnn_logits_batched(params, pool: float, patches, key=None,
         lambda put: jax.random.split(put(key), len(patches)))
     if prepared is None:
         prepared = prepare_patch_batches(patches, nb, width, n_dev)
-    covered = sum(len(lens) for *_, lens in prepared)
-    if covered != len(patches):
-        raise ValueError(
-            f"prepared batches cover {covered} patches, call has "
-            f"{len(patches)} (bucket/width mismatch?)")
-    for pc_d, *_ in prepared:
-        if int(pc_d.shape[1]) != nb:
-            raise ValueError(
-                f"prepared buffers were padded to bucket {int(pc_d.shape[1])} "
-                f"but this call uses bucket {nb} — stale prepared cache")
+    else:
+        _check_prepared(prepared)
     for pc_d, valid_d, lo, lens in prepared:
         Bp = pc_d.shape[0]
         ck = np.concatenate(

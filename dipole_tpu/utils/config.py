@@ -33,6 +33,13 @@ def get_parser(name: str = "Base Options") -> argparse.ArgumentParser:
                         help="replay the torch reference's FPS-start RNG "
                              "bit-exactly from this seed (reference pins "
                              "torch.manual_seed(1))")
+    parser.add_argument("--fps_starts", choices=("rng", "centroid"),
+                        default="rng",
+                        help="FPS start policy for the ensemble forwards: "
+                             "'rng' = one random start per model per patch "
+                             "(reference semantics); 'centroid' = "
+                             "deterministic patch-centroid-nearest start "
+                             "(no start noise)")
     parser.add_argument("--vote_starts", type=_vote_starts, default=1,
                         help="FPS-start ensembling: votes per model per "
                              "patch (1 = reference semantics; >1 averages "
@@ -84,3 +91,4 @@ class PipelineOptions:
     n: int = 30
     mesh: object = None
     vote_starts: int = 1
+    fps_starts: str = "rng"

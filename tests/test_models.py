@@ -287,3 +287,57 @@ def test_prepared_batches_mismatch_guard():
     with pytest.raises(ValueError, match="stale prepared cache"):
         pointcnn.pointcnn_logits_batched(params, 0.6, patches, bucket=256,
                                          prepared=prepared_stale)
+
+
+def test_centroid_starts_deterministic_and_order_invariant():
+    """fps_starts='centroid' (VERDICT r3 item 1): starts are geometry-derived
+    — identical across calls, across model order, and equal to the explicit
+    starts path with pointcnn.centroid_starts indices. Incompatible combos
+    reject."""
+    import pytest
+
+    from dipole_tpu.models import pointcnn
+    from dipole_tpu.models.inference import ensemble_vote_patches
+    from dipole_tpu.utils.io import load_xyz, Transform
+    from dipole_tpu.utils.torch_rng import TorchMT19937
+
+    pc = load_xyz("/root/reference/data/ok.xyz")
+    pc, _ = Transform.trans(pc)
+    patches = [pc[:150], pc[150:290]]
+    models = [load_model_from_file(f"{PRE}/{n}.pt") for n in ["hands", "hands2"]]
+
+    st = pointcnn.centroid_starts(patches)
+    assert st.shape == (2, 2) and (st[:, 1] == 0).all()
+    for i, p in enumerate(patches):
+        d = p[:, :3] - p[:, :3].mean(0)
+        assert st[i, 0] == int(np.argmin((d * d).sum(1)))
+
+    a = ensemble_vote_patches(models, patches, fps_starts="centroid")
+    b = ensemble_vote_patches(models, patches, fps_starts="centroid")
+    rev = ensemble_vote_patches(models[::-1], patches, fps_starts="centroid")
+    for (f_a, p_a), (f_b, p_b), (f_r, p_r) in zip(a, b, rev):
+        np.testing.assert_array_equal(p_a, p_b)
+        np.testing.assert_allclose(p_a, p_r, rtol=0, atol=0)
+
+    # equals the explicit-starts path model-by-model
+    for mi, m in enumerate(models):
+        outs = pointcnn.pointcnn_logits_batched(m.params, m.pool, patches,
+                                                starts=st)
+        probs = [np.exp(o[:, 1]) / np.exp(o).sum(1) for o in outs]
+        # model mi's vote inside the ensemble used the same starts: rebuild
+        # the ensemble mean from per-model runs and compare
+        if mi == 0:
+            acc = [p.copy() for p in probs]
+        else:
+            acc = [x + p for x, p in zip(acc, probs)]
+    for (f_a, p_a), s in zip(a, acc):
+        np.testing.assert_allclose(p_a, s / len(models), rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(ValueError, match="fps_starts"):
+        ensemble_vote_patches(models, patches, fps_starts="centroid",
+                              torch_rng=TorchMT19937(1))
+    with pytest.raises(ValueError, match="vote_starts"):
+        ensemble_vote_patches(models, patches, fps_starts="centroid",
+                              vote_starts=3)
+    with pytest.raises(ValueError, match="fps_starts"):
+        ensemble_vote_patches(models, patches, fps_starts="nope")

@@ -279,7 +279,7 @@ def test_forward_pallas_knn_wiring_interpret(monkeypatch):
     lg_scan = np.asarray(pointcnn._forward(
         params, pc, valid, key, jnp.float32(pool), m1, m2))
 
-    monkeypatch.setattr(pointcnn, "_use_pallas_knn", lambda: True)
+    monkeypatch.setattr(pointcnn, "_use_pallas_knn", lambda *a: True)
     pointcnn._forward._clear_cache()
     try:
         with pltpu.force_tpu_interpret_mode():

@@ -207,10 +207,10 @@ def test_xie_in_order_batched_matches_single():
                 assert (g == want).all(), (kernel, diffuse)
 
 
-def test_greedy_past_streamed_ceiling_raises(monkeypatch):
-    """On a Pallas-enabled backend, a cloud past the HBM-streamed ceiling
-    must raise with guidance instead of falling through to the XLA scan —
-    which reproducibly kills the TPU worker past ~262k steps."""
+def test_greedy_past_xl_ceiling_raises(monkeypatch):
+    """On a Pallas-enabled backend, a cloud past the XL (HBM-resident-state)
+    ceiling must raise with guidance instead of falling through to the XLA
+    scan — which reproducibly kills the TPU worker past ~262k steps."""
     import pytest
 
     from dipole_tpu.ops import fields, propagate_pallas
@@ -218,6 +218,7 @@ def test_greedy_past_streamed_ceiling_raises(monkeypatch):
     monkeypatch.setattr(fields, "_pallas_enabled", lambda: True)
     monkeypatch.setattr(propagate_pallas, "MAX_PALLAS_GREEDY", 4)
     monkeypatch.setattr(propagate_pallas, "MAX_PALLAS_STREAMED", 8)
+    monkeypatch.setattr(propagate_pallas, "MAX_PALLAS_XL", 12)
     pc, _ = scramble_signs(make_sphere(16, seed=3), seed=5)
-    with pytest.raises(ValueError, match="streamed ceiling"):
+    with pytest.raises(ValueError, match="XL ceiling"):
         propagate.greedy_sign_sequence(pc, matrix_limit=2)

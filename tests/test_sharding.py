@@ -255,6 +255,28 @@ def test_ensemble_forward_mesh_matches_single(mesh):
         np.testing.assert_allclose(m, s, rtol=2e-4, atol=2e-5)
 
 
+def test_ensemble_starts_forward_mesh_matches_single(mesh):
+    """The explicit-starts forward (fps_starts='centroid') sharded over the
+    mesh matches the single-device starts path per patch."""
+    from dipole_tpu import train
+    from dipole_tpu.models.pointcnn import (centroid_starts,
+                                            pointcnn_logits_batched)
+
+    params = train.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(43)
+    patches = []
+    for i in range(10):
+        p = rng.normal(size=(rng.integers(40, 120), 6)).astype(np.float32)
+        p[:, 3:] /= np.linalg.norm(p[:, 3:], axis=1, keepdims=True)
+        patches.append(p)
+    st = centroid_starts(patches)
+    single = pointcnn_logits_batched(params, 0.6, patches, starts=st)
+    multi = pointcnn_logits_batched(params, 0.6, patches, starts=st,
+                                    mesh=mesh)
+    for s, m in zip(single, multi):
+        np.testing.assert_allclose(m, s, rtol=2e-4, atol=2e-5)
+
+
 def test_resolve_mesh():
     from dipole_tpu.api import resolve_mesh
 
