@@ -161,16 +161,55 @@ def _canonical_labels(labels: np.ndarray) -> np.ndarray:
     return labels if labels.mean() >= 0.5 else 1 - labels
 
 
-def loss_fn(params, pc, labels, valid, keys, pool, m1: int, m2: int):
+def loss_fn(params, pc, labels, valid, keys, pool, m1: int, m2: int,
+            class_balance: bool = False, gauge_free: bool = False):
+    """Per-point cross-entropy over the flip classes.
+
+    class_balance=True reweights each point so both label classes
+    contribute equal mass *within each patch* — without it, the gauge
+    convention (majority = keep, ~85 % of points on real clouds) admits a
+    trivial minimum where the net predicts the patch majority everywhere
+    and never fixes an individual point. The balanced weights are
+    gauge-invariant (inverting every label swaps the class counts, giving
+    the same per-point weight), so they compose with gauge_free.
+
+    gauge_free=True takes the per-patch minimum of the CE under the two
+    label gauges (labels vs 1-labels). A patch's orientation is only
+    defined up to one global flip — propagation assigns the patch sign
+    later — so the as-labeled CE is ill-posed: on a sign-scrambled patch
+    the majority-keep gauge is a coin flip, and a net that predicts a
+    PERFECT coherent field is 100 % wrong under CE whenever it lands in
+    the other gauge, making keep-all (CE ln 2) the true optimum. That is
+    the measured round-4 collapse (BASELINE training section). The min
+    over gauges restores the actual task: internal consistency."""
     logits = jax.vmap(
         lambda c, v, k: pointcnn._forward(params, c, v, k, pool, m1, m2)
     )(pc, valid, keys)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     w = valid.astype(jnp.float32)
-    loss = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
-    acc = (((logits.argmax(-1) == labels) & valid).sum()
-           / jnp.maximum(w.sum(), 1.0))
+    if class_balance:
+        pos = w * (labels == 1)
+        neg = w * (labels == 0)
+        n1 = pos.sum(-1, keepdims=True)
+        n0 = neg.sum(-1, keepdims=True)
+        w = 0.5 * (pos / jnp.maximum(n1, 1.0) + neg / jnp.maximum(n0, 1.0))
+    vmask = valid.astype(jnp.float32)
+    if gauge_free:
+        inv = -jnp.take_along_axis(logp, (1 - labels)[..., None],
+                                   axis=-1)[..., 0]
+        wsum = jnp.maximum(w.sum(-1), 1e-9)
+        per_patch = jnp.minimum((nll * w).sum(-1), (inv * w).sum(-1)) / wsum
+        loss = per_patch.mean()
+        pred = logits.argmax(-1)
+        agree = ((pred == labels) & valid).sum(-1) / jnp.maximum(
+            vmask.sum(-1), 1.0)
+        acc = jnp.maximum(agree, vmask.sum(-1) / jnp.maximum(
+            vmask.sum(-1), 1.0) - agree).mean()
+    else:
+        loss = (nll * w).sum() / jnp.maximum(w.sum(), 1e-9)
+        acc = (((logits.argmax(-1) == labels) & valid).sum()
+               / jnp.maximum(vmask.sum(), 1.0))
     return loss, acc
 
 
@@ -189,7 +228,8 @@ def param_sharding(mesh: Mesh, params: dict):
 
 
 def make_train_step(mesh: Mesh, pool: float, m1: int, m2: int,
-                    learning_rate: float = 1e-3, total_steps: int = 2000):
+                    learning_rate: float = 1e-3, total_steps: int = 2000,
+                    class_balance: bool = False, gauge_free: bool = False):
     """Build (opt, jitted train_step) with DP batch sharding + TP params.
     Global-norm clipping + warmup-cosine: the XConv composition has sharp
     curvature (single-batch overfit runs show loss spikes of 50x without
@@ -201,7 +241,8 @@ def make_train_step(mesh: Mesh, pool: float, m1: int, m2: int,
 
     def step(params, opt_state, pc, labels, valid, keys):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, pc, labels, valid, keys, jnp.float32(pool), m1, m2
+            params, pc, labels, valid, keys, jnp.float32(pool), m1, m2,
+            class_balance, gauge_free,
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -276,8 +317,26 @@ def patches_from_cloud(path, number_parts: int = 30, min_patch: int = 100,
     return out
 
 
-def _augment(patch, labels, rng):
-    """Random rotation + random whole-patch flip (labels invert)."""
+def _augment(patch, labels, rng, region_flip: float = 0.0,
+             point_flip: float = 0.0, scramble: float = 0.0):
+    """Random rotation + random whole-patch flip (labels invert).
+
+    region_flip: probability of flipping one random contiguous region (the
+    5-50 % of points nearest a random seed point) — simulates the
+    half-wrong patches a propagation cascade hands the network mid-pipeline.
+    point_flip: probability of sparse random per-point flips (each point
+    w.p. 2-15 %) — simulates residual per-point noise in later iterations.
+    scramble: probability of randomizing EVERY point's sign (each w.p. 50 %)
+    — the decisive anti-collapse augmentation: with orient_center-only
+    inits the majority-keep gauge admits an ~85 %-accuracy shortcut
+    ("predict the patch majority everywhere") that plain training never
+    leaves (measured, BASELINE round-4 training section); a scrambled patch
+    has no majority to parrot, so the net must recompute a coherent
+    orientation field from the geometry — which is also what makes it fix
+    individual points at inference.
+    All variants flip the *input* normals and invert the affected labels,
+    then re-resolve the majority-keep gauge, so the per-point correction
+    task stays exactly the inference-time task."""
     q = rng.normal(size=(3, 3))
     Q, _ = np.linalg.qr(q)
     if np.linalg.det(Q) < 0:
@@ -286,10 +345,25 @@ def _augment(patch, labels, rng):
     p[:, :3] = p[:, :3] @ Q
     p[:, 3:6] = p[:, 3:6] @ Q
     lab = labels.copy()
+    if scramble and rng.random() < scramble:
+        mask = rng.random(len(p)) < 0.5
+        p[mask, 3:6] *= -1
+        lab[mask] = 1 - lab[mask]
+    if region_flip and rng.random() < region_flip:
+        c = int(rng.integers(len(p)))
+        m = max(1, int(len(p) * rng.uniform(0.05, 0.5)))
+        d = ((p[:, :3] - p[c, :3]) ** 2).sum(-1)
+        sel = np.argpartition(d, min(m, len(p) - 1))[:m]
+        p[sel, 3:6] *= -1
+        lab[sel] = 1 - lab[sel]
+    if point_flip and rng.random() < point_flip:
+        mask = rng.random(len(p)) < rng.uniform(0.02, 0.15)
+        p[mask, 3:6] *= -1
+        lab[mask] = 1 - lab[mask]
     if rng.random() < 0.5:
         p[:, 3:6] *= -1
-        lab = _canonical_labels(1 - lab)
-    return p, lab
+        lab = 1 - lab
+    return p, _canonical_labels(lab)
 
 
 def train_on_clouds(paths, steps: int = 200, batch: int = 8,
@@ -297,7 +371,9 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
                     learning_rate: float = 3e-3, mesh: Mesh | None = None,
                     eval_paths=(), verbose: bool = True,
                     number_parts: int = 30, min_patch: int = 100,
-                    parts_list=None):
+                    parts_list=None, class_balance: bool = False,
+                    region_flip: float = 0.0, point_flip: float = 0.0,
+                    scramble: float = 0.0, gauge_free: bool = False):
     """Train the flip classifier on real GT-oriented clouds. Returns
     (params, history, eval_accuracy or None).
 
@@ -333,7 +409,9 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
     m1 = int(-(-bucket * pool // 1))
     m2 = int(-(-m1 * pool // 1))
     opt, step_fn = make_train_step(mesh, pool, m1, m2, learning_rate,
-                                   total_steps=steps)
+                                   total_steps=steps,
+                                   class_balance=class_balance,
+                                   gauge_free=gauge_free)
     opt_state = opt.init(params)
 
     def batch_of(samples):
@@ -344,7 +422,8 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
             if len(p) > bucket:
                 sel = rng.permutation(len(p))[:bucket]
                 p, l = p[sel], l[sel]
-            p, l = _augment(p, l, rng)
+            p, l = _augment(p, l, rng, region_flip=region_flip,
+                            point_flip=point_flip, scramble=scramble)
             pc[i, : len(p)] = p
             lab[i, : len(p)] = l
             valid[i, : len(p)] = True
@@ -374,7 +453,10 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
                 logits = pointcnn.pointcnn_logits(params, pool, patch,
                                                   key=jax.random.PRNGKey(0),
                                                   bucket=bucket)
-                correct += int((logits.argmax(-1) == lab).sum())
+                match = int((logits.argmax(-1) == lab).sum())
+                # per-patch gauge-free score when training gauge-free: the
+                # patch sign belongs to propagation, not the net
+                correct += max(match, len(lab) - match) if gauge_free else match
                 total += len(lab)
         eval_acc = correct / max(total, 1)
         if verbose:

@@ -136,3 +136,71 @@ def test_shipped_first_party_checkpoints():
         logits = m.logits(patch, key=jax.random.PRNGKey(0))
         assert logits.shape == (64, 2)
         assert np.isfinite(logits).all()
+
+
+def test_augment_labels_track_input_flips():
+    """Every _augment variant must keep the task consistent: after the
+    rotation is undone, label i == original label i XOR (normal i was
+    flipped), up to ONE global gauge bit, and the majority-keep gauge
+    convention (mean(labels) >= 0.5) must hold on the output."""
+    rng = np.random.default_rng(7)
+    n = 120
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    patch = np.concatenate([xyz, nrm], axis=1).astype(np.float32)
+    labels = train._canonical_labels(
+        (rng.random(n) < 0.8).astype(np.int32))
+
+    for kwargs in ({}, {"region_flip": 1.0}, {"point_flip": 1.0},
+                   {"scramble": 1.0},
+                   {"region_flip": 1.0, "point_flip": 1.0, "scramble": 1.0}):
+        p, lab = train._augment(patch, labels, rng, **kwargs)
+        assert lab.mean() >= 0.5, kwargs  # canonical gauge restored
+        # recover the rotation from positions (exact: p_xyz = xyz @ Q)
+        Q, *_ = np.linalg.lstsq(xyz, p[:, :3], rcond=None)
+        back = patch[:, 3:6] @ Q
+        dots = (back * p[:, 3:6]).sum(-1)
+        assert (np.abs(np.abs(dots) - 1) < 1e-4).all(), kwargs
+        flipped = dots < 0
+        # labels must equal labels XOR flipped XOR g for one global g
+        want0 = labels ^ flipped.astype(np.int32)
+        match_g0 = (lab == want0).all()
+        match_g1 = (lab == 1 - want0).all()
+        assert match_g0 or match_g1, kwargs
+
+
+def test_loss_fn_class_balance_weighting():
+    """class_balance=True must weight both label classes equally within a
+    patch: duplicating majority points cannot change the loss direction the
+    way it does for the plain loss. Verified against a hand-computed
+    reweighting of the same logits."""
+    import jax.numpy as jnp
+    from dipole_tpu.models import pointcnn
+
+    rng = np.random.default_rng(1)
+    n, m1, m2 = 32, 20, 12
+    pc = rng.normal(size=(1, n, 6)).astype(np.float32)
+    pc[..., 3:] /= np.linalg.norm(pc[..., 3:], axis=-1, keepdims=True)
+    labels = np.zeros((1, n), np.int32)
+    labels[0, :28] = 1  # 28 majority / 4 minority
+    valid = np.ones((1, n), bool)
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    params = train.calibrate_init(
+        train.init_params(jax.random.PRNGKey(2)), pc[0], 0.6)
+
+    plain, _ = train.loss_fn(params, jnp.asarray(pc), jnp.asarray(labels),
+                             jnp.asarray(valid), keys, jnp.float32(0.6),
+                             m1, m2, False)
+    bal, _ = train.loss_fn(params, jnp.asarray(pc), jnp.asarray(labels),
+                           jnp.asarray(valid), keys, jnp.float32(0.6),
+                           m1, m2, True)
+    # recompute both from the raw logits
+    logits = pointcnn._forward(params, jnp.asarray(pc[0]),
+                               jnp.asarray(valid[0]), keys[0],
+                               jnp.float32(0.6), m1, m2)
+    logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    nll = -logp[np.arange(n), labels[0]]
+    assert np.isclose(float(plain), nll.mean(), rtol=1e-5)
+    w = np.where(labels[0] == 1, 0.5 / 28, 0.5 / 4)
+    assert np.isclose(float(bal), (nll * w).sum() / w.sum(), rtol=1e-5)

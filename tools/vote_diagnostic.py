@@ -55,7 +55,7 @@ def main(argv):
     names = argv[1:] or ["ref3", "old3", "new3a", "new6"]
 
     from dipole_tpu.models.inference import (ensemble_vote_patches,
-                                             load_models)
+                                             load_model_from_file)
 
     gt, init, patch_indices = pipeline_patches(shape)
     print(f"{shape}: {len(patch_indices)} patches "
@@ -67,7 +67,7 @@ def main(argv):
         if any(not Path(p).exists() for p in paths):
             print(f"{name}: SKIP (missing checkpoints)", flush=True)
             continue
-        models = load_models(paths)
+        models = [load_model_from_file(p) for p in paths]
         votes = ensemble_vote_patches(
             models, [init[pidx] for _, pidx in patch_indices])
         rows = []
