@@ -318,12 +318,16 @@ def patches_from_cloud(path, number_parts: int = 30, min_patch: int = 100,
 
 
 def _augment(patch, labels, rng, region_flip: float = 0.0,
-             point_flip: float = 0.0, scramble: float = 0.0):
+             point_flip: float = 0.0, scramble: float = 0.0,
+             region_draws: int = 1):
     """Random rotation + random whole-patch flip (labels invert).
 
     region_flip: probability of flipping one random contiguous region (the
     5-50 % of points nearest a random seed point) — simulates the
     half-wrong patches a propagation cascade hands the network mid-pipeline.
+    region_draws: independent draws of the region flip (each with
+    probability region_flip) — >1 yields multi-region error patterns,
+    the dominant mid-pipeline state on articulated shapes.
     point_flip: probability of sparse random per-point flips (each point
     w.p. 2-15 %) — simulates residual per-point noise in later iterations.
     scramble: probability of randomizing EVERY point's sign (each w.p. 50 %)
@@ -349,13 +353,14 @@ def _augment(patch, labels, rng, region_flip: float = 0.0,
         mask = rng.random(len(p)) < 0.5
         p[mask, 3:6] *= -1
         lab[mask] = 1 - lab[mask]
-    if region_flip and rng.random() < region_flip:
-        c = int(rng.integers(len(p)))
-        m = max(1, int(len(p) * rng.uniform(0.05, 0.5)))
-        d = ((p[:, :3] - p[c, :3]) ** 2).sum(-1)
-        sel = np.argpartition(d, min(m, len(p) - 1))[:m]
-        p[sel, 3:6] *= -1
-        lab[sel] = 1 - lab[sel]
+    for _ in range(region_draws):
+        if region_flip and rng.random() < region_flip:
+            c = int(rng.integers(len(p)))
+            m = max(1, int(len(p) * rng.uniform(0.05, 0.5)))
+            d = ((p[:, :3] - p[c, :3]) ** 2).sum(-1)
+            sel = np.argpartition(d, min(m, len(p) - 1))[:m]
+            p[sel, 3:6] *= -1
+            lab[sel] = 1 - lab[sel]
     if point_flip and rng.random() < point_flip:
         mask = rng.random(len(p)) < rng.uniform(0.02, 0.15)
         p[mask, 3:6] *= -1
@@ -373,7 +378,8 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
                     number_parts: int = 30, min_patch: int = 100,
                     parts_list=None, class_balance: bool = False,
                     region_flip: float = 0.0, point_flip: float = 0.0,
-                    scramble: float = 0.0, gauge_free: bool = False):
+                    scramble: float = 0.0, gauge_free: bool = False,
+                    region_draws: int = 1, extra_data=()):
     """Train the flip classifier on real GT-oriented clouds. Returns
     (params, history, eval_accuracy or None).
 
@@ -391,6 +397,7 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
             cloud_parts = parts_list or [number_parts]
         for nparts in cloud_parts:
             data.extend(patches_from_cloud(p, nparts, min_patch, seed=seed))
+    data.extend(extra_data)  # e.g. mined mid-pipeline states
     if not data:
         raise ValueError("no training patches")
 
@@ -423,7 +430,8 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
                 sel = rng.permutation(len(p))[:bucket]
                 p, l = p[sel], l[sel]
             p, l = _augment(p, l, rng, region_flip=region_flip,
-                            point_flip=point_flip, scramble=scramble)
+                            point_flip=point_flip, scramble=scramble,
+                            region_draws=region_draws)
             pc[i, : len(p)] = p
             lab[i, : len(p)] = l
             valid[i, : len(p)] = True

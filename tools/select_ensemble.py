@@ -1,0 +1,106 @@
+"""Greedy end-to-end ensemble selection (VERDICT r3 item 2 lever:
+"ensemble selection by end-to-end (not patch) accuracy").
+
+Candidate checkpoints are scored as ensembles through the REAL demo
+pipeline (api.orient_patches with the demos/hand.sh flag set) on the
+shapes that gate the target (hand, ok), and the subset is grown greedily:
+start from the best single model, add whichever candidate raises the
+min(hand, ok) end-to-end score, stop when nothing improves. This directly
+optimizes the deployment metric — per-patch accuracy provably does not
+rank ensembles (BASELINE round-4 table: new6 beats new3a per-patch yet
+loses 0.80 vs 0.97 on ok end-to-end).
+
+Usage: python tools/select_ensemble.py CKPT... [--shapes=hand,ok]
+       python tools/select_ensemble.py @preset... (vote_diagnostic presets)
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REF = Path("/root/reference")
+
+
+def end_to_end(pts, shape, cache={}):
+    """GT sign agreement of the ensemble on the demo config for shape."""
+    from dipole_tpu import api
+    from dipole_tpu.models.inference import load_model_from_file
+    from dipole_tpu.utils.io import load_xyz
+
+    key = (tuple(pts), shape)
+    if key in cache:
+        return cache[key]
+    gt = load_xyz(REF / "data" / f"{shape}.xyz")
+    models = [load_model_from_file(str(p)) for p in pts]
+    out = api.orient_patches(
+        gt[:, :3], models=models, iters=100, propagation_iters=10,
+        number_parts=30, minimum_points_per_patch=100,
+        curvature_threshold=0.01, diffuse=True, weighted_prop=False,
+        estimate=True, timer=lambda *_a, **_k: _Null())
+    agree = float(((out[:, 3:6] * gt[:, 3:6]).sum(-1) > 0).mean())
+    cache[key] = agree
+    return agree
+
+
+class _Null:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def score(pts, shapes):
+    s = {sh: end_to_end(pts, sh) for sh in shapes}
+    return min(s.values()), s
+
+
+def main():
+    from tools.vote_diagnostic import PRESETS
+
+    shapes = ["hand", "ok"]
+    cands = []
+    for a in sys.argv[1:]:
+        if a.startswith("--shapes="):
+            shapes = a.split("=", 1)[1].split(",")
+        elif a.startswith("@"):
+            cands.extend(PRESETS[a[1:]])
+        else:
+            cands.append(a)
+    if not cands:
+        print(__doc__)
+        return
+
+    singles = []
+    for c in cands:
+        m, s = score([c], shapes)
+        print(f"single {Path(c).name}: " +
+              " ".join(f"{k}={v:.4f}" for k, v in s.items()), flush=True)
+        singles.append((m, c))
+    singles.sort(reverse=True)
+    chosen = [singles[0][1]]
+    best, bs = score(chosen, shapes)
+    print(f"start {Path(chosen[0]).name}: min={best:.4f}", flush=True)
+    improved = True
+    while improved:
+        improved = False
+        for _, c in singles:
+            if c in chosen:
+                continue
+            m, s = score(chosen + [c], shapes)
+            print(f"  try +{Path(c).name}: min={m:.4f} " +
+                  " ".join(f"{k}={v:.4f}" for k, v in s.items()), flush=True)
+            if m > best:
+                best, bs = m, s
+                chosen.append(c)
+                improved = True
+                break
+    print("chosen:", [str(c) for c in chosen])
+    print("scores:", " ".join(f"{k}={v:.4f}" for k, v in bs.items()),
+          f"min={best:.4f}")
+
+
+if __name__ == "__main__":
+    main()

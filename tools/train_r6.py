@@ -1,0 +1,85 @@
+"""Round-4 from-scratch ensemble training, recipe 5: region-flip-heavy.
+
+Where recipe 4 (gauge-free + full scramble, tools/train_r5.py) broke the
+trivial-gauge collapse in pilots but drifted back at full schedule, this
+recipe targets the distribution the net actually faces mid-pipeline.
+Measured motivation (BASELINE round-4 training section):
+  - the reference's own hands.pt scores only ~0.75 on fully scrambled
+    patches — the reference nets are NOT scramble solvers;
+  - the valuable behavior is fixing coherent minority REGIONS inside a
+    mostly-correct patch (cascade states), plus sparse per-point noise;
+  - recipe 2 had region flips at only p=0.25, so 75 % of samples were
+    raw orient_center patches whose residual errors are ambiguous points
+    the net cannot learn — that gradient noise drowned the learnable
+    region task. Here region flips dominate (p~0.9, 1-3 draws).
+
+Usage: python tools/train_r6.py pilot         # grid of short pilots
+       python tools/train_r6.py full SEED ... # full-schedule models
+"""
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from dipole_tpu import train  # noqa: E402
+from dipole_tpu.models import checkpoints  # noqa: E402
+from tools.train_r4 import r4_corpus  # noqa: E402
+from tools.train_r5 import post_vote_diagnostic  # noqa: E402
+
+OUT = Path("/tmp/dipole_tpu_ensemble_r6")
+
+# recipe grid: (name, dict of train_on_clouds overrides)
+RECIPES = {
+    "A": dict(region_flip=0.9, region_draws=2, point_flip=0.4, scramble=0.0,
+              class_balance=True, gauge_free=True),
+    "B": dict(region_flip=0.9, region_draws=2, point_flip=0.4, scramble=0.1,
+              class_balance=True, gauge_free=True),
+    "C": dict(region_flip=0.9, region_draws=2, point_flip=0.4, scramble=0.0,
+              class_balance=True, gauge_free=False),
+    "D": dict(region_flip=0.9, region_draws=3, point_flip=0.4, scramble=0.0,
+              class_balance=False, gauge_free=True),
+}
+
+
+def run_one(name, recipe, steps, seed, data="/root/reference/data"):
+    corpus = r4_corpus()
+    t0 = time.time()
+    params, _, eval_acc = train.train_on_clouds(
+        corpus, steps=steps, batch=16, bucket=512, pool=0.6, seed=seed,
+        eval_paths=[f"{data}/hand.xyz"], verbose=False,
+        learning_rate=1e-3, **recipe)
+    OUT.mkdir(exist_ok=True)
+    pt = OUT / f"model_{name}{seed}.pt"
+    checkpoints.save_state_dict(
+        {k: np.asarray(v) for k, v in params.items()}, pt)
+    pt.with_suffix(".txt").write_text("pool: 0.6\n")
+    agree, fix_rate, gf = post_vote_diagnostic([pt])
+    print(f"recipe {name} seed {seed}: {steps} steps in {time.time()-t0:.0f}s"
+          f" held-out {eval_acc:.4f} | ok post-vote {agree:.4f} gauge-free "
+          f"{gf:.4f} fix-rate {fix_rate:.4f} (init 0.757, ref bar 0.828)",
+          flush=True)
+    return pt, agree, gf, fix_rate
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "pilot"
+    if mode == "pilot":
+        steps = int(sys.argv[2]) if len(sys.argv) > 2 else 800
+        for name, recipe in RECIPES.items():
+            run_one(name, recipe, steps, seed=20)
+    else:  # full NAME STEPS SEED [SEED...]
+        name = sys.argv[2]
+        steps = int(sys.argv[3])
+        seeds = [int(s) for s in sys.argv[4:]] or [30]
+        pts = [run_one(name, RECIPES[name], steps, s)[0] for s in seeds]
+        if len(pts) > 1:
+            agree, fix_rate, gf = post_vote_diagnostic(pts)
+            print(f"ensemble of {len(pts)}: ok post-vote {agree:.4f} "
+                  f"gauge-free {gf:.4f} fix-rate {fix_rate:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
