@@ -115,6 +115,25 @@ def test_train_on_clouds_multiscale(tmp_path):
     assert len(two) > len(one)
 
 
+def test_train_on_clouds_extra_data_only():
+    """extra_data states (e.g. mined mid-pipeline patches) are a full
+    citizen of the corpus: training runs on them alone."""
+    rng = np.random.default_rng(5)
+    extra = []
+    for _ in range(3):
+        nrm = rng.normal(size=(96, 3))
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        pc = np.concatenate([rng.normal(size=(96, 3)), nrm],
+                            axis=1).astype(np.float32)
+        extra.append((pc, train._canonical_labels(
+            (rng.random(96) < 0.8).astype(np.int32))))
+    params, history, _ = train.train_on_clouds(
+        [], steps=2, batch=4, bucket=128, verbose=False,
+        region_flip=0.9, region_draws=2, extra_data=extra)
+    assert len(history) == 2
+    assert all(np.isfinite(l) for l, _ in history)
+
+
 def test_shipped_first_party_checkpoints():
     """The repo ships its own trained ensemble (pre_trained_tpu/): loads
     through the normal inference path, reference-compatible layout, sane
@@ -154,7 +173,9 @@ def test_augment_labels_track_input_flips():
 
     for kwargs in ({}, {"region_flip": 1.0}, {"point_flip": 1.0},
                    {"scramble": 1.0},
-                   {"region_flip": 1.0, "point_flip": 1.0, "scramble": 1.0}):
+                   {"region_flip": 1.0, "region_draws": 3},
+                   {"region_flip": 1.0, "point_flip": 1.0, "scramble": 1.0,
+                    "region_draws": 2}):
         p, lab = train._augment(patch, labels, rng, **kwargs)
         assert lab.mean() >= 0.5, kwargs  # canonical gauge restored
         # recover the rotation from positions (exact: p_xyz = xyz @ Q)
