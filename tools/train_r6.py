@@ -44,13 +44,19 @@ RECIPES = {
 }
 
 
-def run_one(name, recipe, steps, seed, data="/root/reference/data"):
+def load_mined(path):
+    z = np.load(path, allow_pickle=True)
+    return list(zip(z["patches"], z["labels"]))
+
+
+def run_one(name, recipe, steps, seed, data="/root/reference/data",
+            mined=()):
     corpus = r4_corpus()
     t0 = time.time()
     params, _, eval_acc = train.train_on_clouds(
         corpus, steps=steps, batch=16, bucket=512, pool=0.6, seed=seed,
         eval_paths=[f"{data}/hand.xyz"], verbose=False,
-        learning_rate=1e-3, **recipe)
+        learning_rate=1e-3, extra_data=mined, **recipe)
     OUT.mkdir(exist_ok=True)
     pt = OUT / f"model_{name}{seed}.pt"
     checkpoints.save_state_dict(
@@ -65,16 +71,23 @@ def run_one(name, recipe, steps, seed, data="/root/reference/data"):
 
 
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "pilot"
+    argv = [a for a in sys.argv[1:] if not a.startswith("--mined=")]
+    mined = ()
+    for a in sys.argv[1:]:
+        if a.startswith("--mined="):
+            mined = load_mined(a.split("=", 1)[1])
+            print(f"mined states: {len(mined)}", flush=True)
+    mode = argv[0] if argv else "pilot"
     if mode == "pilot":
-        steps = int(sys.argv[2]) if len(sys.argv) > 2 else 800
+        steps = int(argv[1]) if len(argv) > 1 else 800
         for name, recipe in RECIPES.items():
-            run_one(name, recipe, steps, seed=20)
+            run_one(name, recipe, steps, seed=20, mined=mined)
     else:  # full NAME STEPS SEED [SEED...]
-        name = sys.argv[2]
-        steps = int(sys.argv[3])
-        seeds = [int(s) for s in sys.argv[4:]] or [30]
-        pts = [run_one(name, RECIPES[name], steps, s)[0] for s in seeds]
+        name = argv[1]
+        steps = int(argv[2])
+        seeds = [int(s) for s in argv[3:]] or [30]
+        pts = [run_one(name, RECIPES[name], steps, s, mined=mined)[0]
+               for s in seeds]
         if len(pts) > 1:
             agree, fix_rate, gf = post_vote_diagnostic(pts)
             print(f"ensemble of {len(pts)}: ok post-vote {agree:.4f} "
