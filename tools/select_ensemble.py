@@ -23,8 +23,27 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 REF = Path("/root/reference")
 
 
+CACHE_PATH = Path("/tmp/select_ensemble_cache.json")
+
+
+def _digest(pts):
+    import hashlib
+
+    h = hashlib.sha256()
+    # content digest, order-free (voting is order-invariant by design)
+    for d in sorted(hashlib.sha256(Path(p).read_bytes()).hexdigest()
+                    for p in pts):
+        h.update(d.encode())
+    return h.hexdigest()[:24]
+
+
 def end_to_end(pts, shape, cache={}):
-    """GT sign agreement of the ensemble on the demo config for shape."""
+    """GT sign agreement of the ensemble on the demo config for shape.
+    Scores persist in a content-digest-keyed disk cache: the pipeline is
+    deterministic (digest-keyed FPS starts), so a combo never needs to be
+    re-run across processes."""
+    import json
+
     from dipole_tpu import api
     from dipole_tpu.models.inference import load_model_from_file
     from dipole_tpu.utils.io import load_xyz
@@ -32,6 +51,13 @@ def end_to_end(pts, shape, cache={}):
     key = (tuple(pts), shape)
     if key in cache:
         return cache[key]
+    dkey = f"{_digest(pts)}:{shape}"
+    disk = {}
+    if CACHE_PATH.exists():
+        disk = json.loads(CACHE_PATH.read_text())
+        if dkey in disk:
+            cache[key] = disk[dkey]
+            return disk[dkey]
     gt = load_xyz(REF / "data" / f"{shape}.xyz")
     models = [load_model_from_file(str(p)) for p in pts]
     out = api.orient_patches(
@@ -41,6 +67,10 @@ def end_to_end(pts, shape, cache={}):
         estimate=True, timer=lambda *_a, **_k: _Null())
     agree = float(((out[:, 3:6] * gt[:, 3:6]).sum(-1) > 0).mean())
     cache[key] = agree
+    if CACHE_PATH.exists():  # re-read: don't clobber concurrent writers
+        disk = json.loads(CACHE_PATH.read_text())
+    disk[dkey] = agree
+    CACHE_PATH.write_text(json.dumps(disk, indent=0))
     return agree
 
 
