@@ -61,9 +61,9 @@ def end_to_end(pts, shape, cache={}):
     gt = load_xyz(REF / "data" / f"{shape}.xyz")
     models = [load_model_from_file(str(p)) for p in pts]
     out = api.orient_patches(
-        gt[:, :3], models=models, iters=100, propagation_iters=10,
+        gt[:, :3], models=models, iters=10, propagation_iters=5,
         number_parts=30, minimum_points_per_patch=100,
-        curvature_threshold=0.01, diffuse=True, weighted_prop=False,
+        curvature_threshold=0.01, diffuse=True, weighted_prop=True,
         estimate=True, timer=lambda *_a, **_k: _Null())
     agree = float(((out[:, 3:6] * gt[:, 3:6]).sum(-1) > 0).mean())
     cache[key] = agree
