@@ -14,6 +14,10 @@ Saved as an .npz of object arrays {patches: [(n,6) f32], labels: [(n,) i32]}
 consumable by train.train_on_clouds(extra_data=...).
 
 Usage: python tools/mine_hard_cases.py OUT.npz [ensemble-preset] [cloud...]
+       cloud entries may carry a patch-grid override as PATH:NPARTS
+       (synthetic 30-40k clouds need finer grids than the 10k demos);
+       --iters=N bounds the vote/cascade replay (11 covers two cascade
+       captures and is what the round-4 mining runs used on CPU).
 """
 import sys
 from pathlib import Path
@@ -80,15 +84,22 @@ def main():
     from tools.train_r4 import r4_corpus
     from tools.vote_diagnostic import PRESETS
 
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hard_cases.npz"
-    preset = sys.argv[2] if len(sys.argv) > 2 else "old3"
-    clouds = sys.argv[3:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    iters = 30
+    for a in sys.argv[1:]:
+        if a.startswith("--iters="):
+            iters = int(a.split("=", 1)[1])
+    out = args[0] if args else "/tmp/hard_cases.npz"
+    preset = args[1] if len(args) > 1 else "old3"
+    clouds = args[2:]
     models = [load_model_from_file(p) for p in PRESETS[preset]]
     if not clouds:
         clouds = [p if isinstance(p, str) else p[0] for p in r4_corpus()]
     P, L = [], []
     for c in clouds:
-        p, l = mine_cloud(c, models)
+        c, _, parts = c.partition(":")
+        p, l = mine_cloud(c, models, iters=iters,
+                          number_parts=int(parts) if parts else 30)
         stats = [min(x.mean(), 1 - x.mean()) for x in l]
         print(f"{c}: {len(p)} states, minority frac mean "
               f"{np.mean(stats):.3f}", flush=True)
