@@ -75,3 +75,20 @@ def test_analysis_walkthrough(tmp_path):
     assert (tmp_path / "reslog.json").exists()
     assert (tmp_path / "res0.xyz").exists()
     assert (tmp_path / "potential_iso.ply").stat().st_size > 100
+
+
+def test_explicit_jax_platforms_env_is_honored():
+    """`JAX_PLATFORMS=cpu <any entry point>` must pin the backend even when
+    a remote-TPU plugin (axon) force-appends its platform at jax import —
+    otherwise a down tunnel turns every CPU-forced CLI run into a
+    multi-minute hang (utils/jaxsetup.py re-assert)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import dipole_tpu, jax; print(jax.config.jax_platforms)"],
+        env=env, capture_output=True, text=True, timeout=120, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().splitlines()[-1] == "cpu"
