@@ -29,3 +29,17 @@ def test_mine_cloud_states_are_labeled_against_gt(tmp_path):
     # (iters=11 crosses the it%10 propagation point once)
     sizes = [len(p) for p in patches]
     assert len(sizes) >= 2
+
+
+def test_shipped_mined_states_load_and_hold_invariants():
+    """train_data/mined_states_r4.npz is the recipe-5 training input; the
+    pickle-free loader must reproduce the miner's per-state invariants."""
+    from tools.train_r6 import MINED_DEFAULT, load_mined
+
+    assert MINED_DEFAULT.exists()
+    states = load_mined(MINED_DEFAULT)
+    assert len(states) == 199
+    for p, l in states:
+        assert p.shape == (len(l), 6) and p.dtype == np.float32
+        assert set(np.unique(l)) <= {0, 1}
+        assert l.mean() >= 0.5

@@ -30,6 +30,11 @@ from tools.train_r4 import r4_corpus  # noqa: E402
 from tools.train_r5 import post_vote_diagnostic  # noqa: E402
 
 OUT = Path("/tmp/dipole_tpu_ensemble_r6")
+# Mid-pipeline states mined by tools/mine_hard_cases.py from ok + fandisk +
+# 2 synthetic hand shapes (199 states, hand.xyz held out), shipped in-repo
+# so the recipe is reproducible without re-mining (~2 h on this host).
+MINED_DEFAULT = Path(__file__).resolve().parent.parent / \
+    "train_data" / "mined_states_r4.npz"
 
 # recipe grid: (name, dict of train_on_clouds overrides)
 RECIPES = {
@@ -45,7 +50,14 @@ RECIPES = {
 
 
 def load_mined(path):
+    """Load mined (patch, labels) pairs; supports the shipped pickle-free
+    concatenated form (points/labels/lengths) and the miner's raw object
+    arrays (patches/labels)."""
     z = np.load(path, allow_pickle=True)
+    if "lengths" in z.files:
+        off = np.concatenate([[0], np.cumsum(z["lengths"])])
+        return [(z["points"][a:b], z["labels"][a:b])
+                for a, b in zip(off[:-1], off[1:])]
     return list(zip(z["patches"], z["labels"]))
 
 
@@ -71,12 +83,16 @@ def run_one(name, recipe, steps, seed, data="/root/reference/data",
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if not a.startswith("--mined=")]
-    mined = ()
+    argv = [a for a in sys.argv[1:] if not a.startswith("--mined")]
+    mined_path = MINED_DEFAULT if MINED_DEFAULT.exists() else None
     for a in sys.argv[1:]:
-        if a.startswith("--mined="):
-            mined = load_mined(a.split("=", 1)[1])
-            print(f"mined states: {len(mined)}", flush=True)
+        if a == "--mined=none":
+            mined_path = None
+        elif a.startswith("--mined="):
+            mined_path = a.split("=", 1)[1]
+    mined = load_mined(mined_path) if mined_path else ()
+    if mined:
+        print(f"mined states: {len(mined)} ({mined_path})", flush=True)
     mode = argv[0] if argv else "pilot"
     if mode == "pilot":
         steps = int(argv[1]) if len(argv) > 1 else 800
