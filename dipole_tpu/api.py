@@ -113,7 +113,18 @@ def stage_mesh(mesh, stage: str, n: int | None = None):
     The sequential/cascade stages are collective-bound (4+ collectives per
     step); the embarrassingly-parallel stages scale. Capacity overrides
     speed: past the single-chip greedy ceiling the distributed loop is the
-    only path, so auto switches to it there."""
+    only path, so auto switches to it there.
+
+    PROVENANCE: the timing constants above were measured on the 8-way
+    *virtual CPU* mesh (the only multi-device fabric available here), where
+    host compute is slow relative to collectives. The single-chip rows are
+    fabric-independent — the sequential chain pays 4+ collectives per step
+    on any interconnect, so it only loses harder on real ICI — but the two
+    "sharded wins" margins (ensemble 3.9→2.8 s, field 24.4→17.5 s) may
+    widen or inverted-looking stages may flip on a real pod where compute
+    is ~100× faster and ICI latency dominates. To re-derive on hardware:
+    run `python tools/mesh_auto_bench.py <n_chips>` (with the CPU forcing
+    lines removed) — its final block prints this exact table."""
     if mesh is None:
         return None
     if not isinstance(mesh, AutoMesh):

@@ -10,8 +10,16 @@ the real TPU, warm:
   * streamed   — HBM-streamed Pallas: cloud panels DMA'd per step, only
                  accumulator + sign state resident
                  (<= propagate_pallas.MAX_PALLAS_STREAMED)
+  * xl         — fully HBM-resident Pallas (acc/sign state in HBM too,
+                 <= propagate_pallas.MAX_PALLAS_XL = 2^24); the only
+                 single-chip path past ~1M points
   * scan       — XLA on-the-fly lax.scan fallback (any N; O(N) compiled
                  steps, each a full-cloud column eval)
+
+--check-overlap N additionally runs streamed AND xl on the same cloud at
+an N both can handle and asserts bit-identical greedy sign decisions —
+the hardware proof (VERDICT r4 item 2) that the XL tier implements the
+same algorithm, not just an interpret-mode cousin.
 
 and prints the per-N winner plus an analytic latency model for the
 multi-chip distributed greedy (parallel.sharding.greedy_sign_sequence_
@@ -65,13 +73,37 @@ def main(argv=None):
     ap.add_argument("--sizes", default="100000,300000,1000000")
     ap.add_argument("--scan-cap", type=int, default=150000)
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--check-overlap", type=int, default=0,
+                    help="N at which streamed and xl must produce identical "
+                         "sign decisions (0 = skip)")
+    ap.add_argument("--xl", action="store_true",
+                    help="time the XL tier at every size it can handle "
+                         "(not just past the streamed ceiling)")
     args = ap.parse_args(argv)
     sizes = [int(s) for s in args.sizes.split(",")]
 
     from dipole_tpu.ops import propagate, propagate_pallas
 
+    if args.check_overlap:
+        n = args.check_overlap
+        pc = _cloud(n)
+        t0 = time.perf_counter()
+        _, s_str = propagate_pallas.greedy_sign_sequence_pallas_streamed(pc, 0)
+        s_str = np.asarray(s_str)
+        t_str = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, s_xl = propagate_pallas.greedy_sign_sequence_pallas_xl(pc, 0)
+        s_xl = np.asarray(s_xl)
+        t_xl = time.perf_counter() - t0
+        same = int((s_str == s_xl).sum())
+        print(f"overlap check N={n}: streamed {t_str:.1f}s (cold) vs xl "
+              f"{t_xl:.1f}s (cold); identical decisions {same}/{n} "
+              f"({'PASS' if same == n else 'FAIL'})", flush=True)
+        if same != n:
+            raise SystemExit(1)
+
     print(f"{'N':>9} {'matrix[s]':>10} {'resident[s]':>12} {'streamed[s]':>12} "
-          f"{'scan[s]':>10} {'winner':>9}")
+          f"{'xl[s]':>10} {'scan[s]':>10} {'winner':>9}")
     rows = []
     for n in sizes:
         pc = _cloud(n)
@@ -87,6 +119,11 @@ def main(argv=None):
             res["streamed"] = _time(
                 lambda: propagate_pallas.greedy_sign_sequence_pallas_streamed(
                     pc, 0)[1], args.iters)
+        if n <= propagate_pallas.MAX_PALLAS_XL and (
+                args.xl or n > propagate_pallas.MAX_PALLAS_STREAMED):
+            res["xl"] = _time(
+                lambda: propagate_pallas.greedy_sign_sequence_pallas_xl(
+                    pc, 0)[1], args.iters)
         if n <= args.scan_cap:
             res["scan"] = _time(lambda: propagate.greedy_sign_sequence(
                 pc, matrix_limit=0)[1], args.iters)
@@ -97,7 +134,8 @@ def main(argv=None):
             return f"{res[k]:.2f}" if k in res else "—"
 
         print(f"{n:>9} {cell('matrix'):>10} {cell('resident'):>12} "
-              f"{cell('streamed'):>12} {cell('scan'):>10} {winner:>9}")
+              f"{cell('streamed'):>12} {cell('xl'):>10} {cell('scan'):>10} "
+              f"{winner:>9}", flush=True)
 
     print("\n== analytic distributed-greedy latency floor "
           "(sharding.greedy_sign_sequence_sharded) ==")

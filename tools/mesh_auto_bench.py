@@ -5,6 +5,12 @@ per-stage decision table (api.stage_mesh, VERDICT r3 item 6).
 Run: python tools/mesh_auto_bench.py [n_devices]
 (forces JAX_PLATFORMS=cpu + xla_force_host_platform_device_count before
 jax initializes, like tests/conftest.py)
+
+On a real multi-chip pod, unset the CPU forcing below (pass a real mesh
+size and edit the two jax.config lines) and re-run: the final block prints
+the decision table in the exact markdown form `api.stage_mesh`'s docstring
+carries, so re-deriving the table from ICI measurements is one command +
+one paste (VERDICT r4 item 7).
 """
 import os
 import sys
@@ -51,15 +57,22 @@ def main():
     from dipole_tpu.parallel import sharding
 
     mesh = sharding.make_mesh(N_DEV)
-    print(f"mesh: {mesh.devices.size} devices ({jax.devices()[0].platform})")
+    platform = jax.devices()[0].platform
+    print(f"mesh: {mesh.devices.size} devices ({platform})")
+    rows = []  # (stage, measurement text, pick) -> docstring-format table
+
+    def ab(stage, label, t1, t2):
+        pick = "single" if t1 <= t2 else "sharded"
+        print(f"{stage} {label}: single {t1:.3f}s  sharded {t2:.3f}s  "
+              f"-> {pick}")
+        rows.append((stage, f"{label}: {t1:.1f} vs {t2:.1f} s", pick))
 
     # 1. sequential greedy: single-chip scan vs distributed loop
     for n in (2048, 8192):
         pc = make_cloud(n)
         t1 = timed(lambda: propagate.greedy_sign_sequence(pc)[1])
         t2 = timed(lambda: sharding.greedy_sign_sequence_sharded(pc, mesh)[1])
-        print(f"greedy n={n}: single {t1:.3f}s  sharded {t2:.3f}s  "
-              f"-> {'single' if t1 <= t2 else 'sharded'}")
+        ab("greedy", f"{n//1024}k", t1, t2)
 
     # 2. patch propagation: mesh vs none
     for n, parts in ((10000, 8),):
@@ -71,8 +84,7 @@ def main():
             pc.copy(), pidx, patches, diffuse=True))
         t2 = timed(lambda: propagate.strongest_field_propagation_patches(
             pc.copy(), pidx, patches, diffuse=True, mesh=mesh))
-        print(f"patch-prop n={n} parts={parts}: single {t1:.3f}s  "
-              f"sharded {t2:.3f}s  -> {'single' if t1 <= t2 else 'sharded'}")
+        ab("patch", f"{n//1000}k/{parts} patches", t1, t2)
 
     # 3. ensemble forward: mesh vs none
     from dipole_tpu import train
@@ -87,8 +99,7 @@ def main():
                for i in range(16)]
     t1 = timed(lambda: ensemble_vote_patches([model], patches)[0][1])
     t2 = timed(lambda: ensemble_vote_patches([model], patches, mesh=mesh)[0][1])
-    print(f"ensemble fwd 16 patches: single {t1:.3f}s  sharded {t2:.3f}s  "
-          f"-> {'single' if t1 <= t2 else 'sharded'}")
+    ab("ensemble", "16 patches", t1, t2)
 
     # 4. replay: single vs column-sharded
     for n in (2048,):
@@ -99,8 +110,7 @@ def main():
             pc, orders, diffuse=True))
         t2 = timed(lambda: sharding.xie_in_order_sharded(
             pc, orders, mesh, diffuse=True))
-        print(f"replay n={n} T=3: single {t1:.3f}s  sharded {t2:.3f}s  "
-              f"-> {'single' if t1 <= t2 else 'sharded'}")
+        ab("replay", f"{n//1024}k/T=3", t1, t2)
 
     # 5. sign fix (mean potential on the 10^3 lattice)
     from dipole_tpu.utils.io import gen_grid
@@ -110,8 +120,7 @@ def main():
         grid = gen_grid(10)
         t1 = timed(lambda: fields.measure_mean_potential(pc))
         t2 = timed(lambda: sharding.potential_sharded(pc, grid, mesh).mean())
-        print(f"sign-fix n={n}: single {t1:.3f}s  sharded {t2:.3f}s  "
-              f"-> {'single' if t1 <= t2 else 'sharded'}")
+        ab("sign_fix", f"{n//1000}k", t1, t2)
 
     # 6. field eval (reference-field transfer class)
     for n in (65536,):
@@ -119,8 +128,24 @@ def main():
         tgt = make_cloud(8192, seed=9)[:, :3]
         t1 = timed(lambda: fields.field_grad(pc, tgt))
         t2 = timed(lambda: sharding.field_grad_sharded(pc, tgt, mesh))
-        print(f"field {n}x8192: single {t1:.3f}s  sharded {t2:.3f}s  "
-              f"-> {'single' if t1 <= t2 else 'sharded'}")
+        ab("field", f"{n//1024}k x 8k", t1, t2)
+
+    # decision table in the exact form api.stage_mesh's docstring carries —
+    # paste this block into the docstring when re-deriving on real ICI
+    print(f"\ndecision table ({mesh.devices.size}-way {platform} mesh):")
+    print("| stage    | measurement                                "
+          "| auto picks |")
+    print("|----------|--------------------------------------------"
+          "|------------|")
+    by_stage = {}
+    for stage, meas, pick in rows:
+        by_stage.setdefault(stage, [[], set()])
+        by_stage[stage][0].append(meas)
+        by_stage[stage][1].add(pick)
+    for stage, (meas, picks) in by_stage.items():
+        pick = picks.pop() if len(picks) == 1 else "MIXED"
+        label = pick + (" (wins)" if pick == "sharded" else "")
+        print(f"| {stage:<8s} | {'; '.join(meas):<42s} | {label:<10s} |")
 
 
 if __name__ == "__main__":
