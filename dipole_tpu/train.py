@@ -379,9 +379,15 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
                     parts_list=None, class_balance: bool = False,
                     region_flip: float = 0.0, point_flip: float = 0.0,
                     scramble: float = 0.0, gauge_free: bool = False,
-                    region_draws: int = 1, extra_data=()):
+                    region_draws: int = 1, extra_data=(),
+                    snapshot_every: int = 0, snapshot_fn=None):
     """Train the flip classifier on real GT-oriented clouds. Returns
     (params, history, eval_accuracy or None).
+
+    snapshot_every/snapshot_fn: call snapshot_fn(step, params) every
+    snapshot_every steps (and at the last step) — one full run then yields
+    checkpoints along the schedule, so late-schedule drift (the round-4
+    recipe-4 failure mode) is diagnosable from a single training run.
 
     parts_list: optional iterable of number_parts values — each cloud is
     patched once per value, so the net sees the same surface at several
@@ -448,6 +454,9 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
         history.append((float(loss), float(acc)))
         if verbose and (i % 20 == 0 or i == steps - 1):
             print(f"step {i}: loss {float(loss):.4f} acc {float(acc):.4f}")
+        if snapshot_fn and snapshot_every and (
+                (i + 1) % snapshot_every == 0 or i == steps - 1):
+            snapshot_fn(i + 1, params)
 
     eval_acc = None
     if eval_paths:

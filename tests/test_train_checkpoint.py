@@ -127,11 +127,15 @@ def test_train_on_clouds_extra_data_only():
                             axis=1).astype(np.float32)
         extra.append((pc, train._canonical_labels(
             (rng.random(96) < 0.8).astype(np.int32))))
+    snaps = []
     params, history, _ = train.train_on_clouds(
         [], steps=2, batch=4, bucket=128, verbose=False,
-        region_flip=0.9, region_draws=2, extra_data=extra)
+        region_flip=0.9, region_draws=2, extra_data=extra,
+        snapshot_every=1, snapshot_fn=lambda s, p: snaps.append(s))
     assert len(history) == 2
     assert all(np.isfinite(l) for l, _ in history)
+    # snapshot hook fires on the schedule (and once at the final step)
+    assert snaps == [1, 2]
 
 
 def test_shipped_first_party_checkpoints():

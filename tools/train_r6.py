@@ -62,18 +62,36 @@ def load_mined(path):
 
 
 def run_one(name, recipe, steps, seed, data="/root/reference/data",
-            mined=()):
+            mined=(), snapshot_every=0):
     corpus = r4_corpus()
     t0 = time.time()
+    OUT.mkdir(exist_ok=True)
+    snaps = []
+
+    def snap(step, params):
+        p = OUT / f"model_{name}{seed}_s{step}.pt"
+        checkpoints.save_state_dict(
+            {k: np.asarray(v) for k, v in params.items()}, p)
+        p.with_suffix(".txt").write_text("pool: 0.6\n")
+        snaps.append((step, p))
+
     params, _, eval_acc = train.train_on_clouds(
         corpus, steps=steps, batch=16, bucket=512, pool=0.6, seed=seed,
         eval_paths=[f"{data}/hand.xyz"], verbose=False,
-        learning_rate=1e-3, extra_data=mined, **recipe)
-    OUT.mkdir(exist_ok=True)
+        learning_rate=1e-3, extra_data=mined,
+        snapshot_every=snapshot_every,
+        snapshot_fn=snap if snapshot_every else None, **recipe)
     pt = OUT / f"model_{name}{seed}.pt"
     checkpoints.save_state_dict(
         {k: np.asarray(v) for k, v in params.items()}, pt)
     pt.with_suffix(".txt").write_text("pool: 0.6\n")
+    # diagnose the schedule: late-drift shows as fix-rate decay over steps
+    for step, p in snaps:
+        if step == steps:
+            continue
+        agree, fix_rate, gf = post_vote_diagnostic([p])
+        print(f"  {name}{seed} snapshot {step}: ok post-vote {agree:.4f} "
+              f"gauge-free {gf:.4f} fix-rate {fix_rate:.4f}", flush=True)
     agree, fix_rate, gf = post_vote_diagnostic([pt])
     print(f"recipe {name} seed {seed}: {steps} steps in {time.time()-t0:.0f}s"
           f" held-out {eval_acc:.4f} | ok post-vote {agree:.4f} gauge-free "
@@ -102,7 +120,8 @@ def main():
         name = argv[1]
         steps = int(argv[2])
         seeds = [int(s) for s in argv[3:]] or [30]
-        pts = [run_one(name, RECIPES[name], steps, s, mined=mined)[0]
+        pts = [run_one(name, RECIPES[name], steps, s, mined=mined,
+                       snapshot_every=800)[0]
                for s in seeds]
         if len(pts) > 1:
             agree, fix_rate, gf = post_vote_diagnostic(pts)
