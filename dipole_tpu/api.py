@@ -228,7 +228,8 @@ def orient_patches(points, models=(), iters: int = 100,
                    n: int = 30, timer=None, mesh=None,
                    torch_rng: int | None = None,
                    vote_starts: int = 1,
-                   fps_starts: str = "rng") -> np.ndarray:
+                   fps_starts: str = "rng",
+                   vote_margin: float = 0.0) -> np.ndarray:
     """Patch pipeline with PointCNN ensemble correction (reference
     orient_pointcloud.py:11-83): voxel patches -> curvature filter ->
     orient_center -> iterate {ensemble votes, periodic patch propagation} ->
@@ -247,7 +248,13 @@ def orient_patches(points, models=(), iters: int = 100,
 
     fps_starts: 'rng' (reference semantics) or 'centroid' — deterministic
     patch-centroid-nearest FPS starts (pointcnn.centroid_starts), removing
-    start noise from the ensemble entirely."""
+    start noise from the ensemble entirely.
+
+    vote_margin: flip a point only when the ensemble's mean P(flip)
+    clears 0.5 by this margin (flip where p < 0.5 - margin). 0.0 is the
+    reference vote (inference_utils.py:47-49); >0 trades vote recall for
+    precision — low-confidence flips are suppressed, which protects
+    well-initialized patches from noisy votes."""
     import jax
 
     if torch_rng is not None and int(vote_starts) != 1:
@@ -313,6 +320,8 @@ def orient_patches(points, models=(), iters: int = 100,
                     fps_starts=fps_starts,
                 )
                 for (_, pidx), (flip, probs) in zip(patch_indices, votes):
+                    if vote_margin:
+                        flip = probs < (0.5 - vote_margin)
                     probs = probs.copy()
                     probs[flip] = 1 - probs[flip]
                     pc_probs[pidx] = probs
@@ -334,14 +343,16 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
                  minimum_points_per_patch: int = 21,
                  curvature_threshold: float = 0.0, estimate: bool = False,
                  n: int = 30, seed: int = 1, timer=None, mesh=None,
-                 vote_starts: int = 1, fps_starts: str = "rng") -> np.ndarray:
+                 vote_starts: int = 1, fps_starts: str = "rng",
+                 vote_margin: float = 0.0) -> np.ndarray:
     """Large clouds via <=500 representative points per patch (reference
     orient_large.py:10-90). NOTE pipeline-order parity: normals are estimated
     AFTER normalization here (the reference does the same only in this
     pipeline, orient_large.py:17-24). mesh: optional Mesh / device count /
     'auto' — ensemble forwards, the rep-interaction matrix and the rest-point
     field pass shard over the devices (results unchanged).
-    vote_starts: FPS-start ensembling (see orient_patches)."""
+    vote_starts: FPS-start ensembling; vote_margin: confidence-gated flips
+    (see orient_patches)."""
     import jax
 
     stage_timer = timer or timer_factory()
@@ -394,6 +405,8 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
                 fps_starts=fps_starts,
             )
             for reps, (flip, probs) in zip(rep_sets, votes):
+                if vote_margin:
+                    flip = probs < (0.5 - vote_margin)
                 pc_probs[reps] = probs
                 input_pc[reps[flip], 3:6] *= -1
 

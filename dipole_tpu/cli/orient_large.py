@@ -36,6 +36,7 @@ def run(opts):
         mesh=getattr(opts, "mesh", None),
         vote_starts=getattr(opts, "vote_starts", 1),
         fps_starts=getattr(opts, "fps_starts", "rng"),
+        vote_margin=getattr(opts, "vote_margin", 0.0),
     )
 
     with stage_timer("export oriented cloud", count=False):

@@ -34,6 +34,7 @@ def run(opts):
         torch_rng=getattr(opts, "torch_rng", None),
         vote_starts=getattr(opts, "vote_starts", 1),
         fps_starts=getattr(opts, "fps_starts", "rng"),
+        vote_margin=getattr(opts, "vote_margin", 0.0),
     )
 
     stage_timer.print_total_time()

@@ -46,6 +46,11 @@ def get_parser(name: str = "Base Options") -> argparse.ArgumentParser:
                              "out FPS-start noise at vote_starts x forward "
                              "cost — measured strictly WORSE end-to-end; a "
                              "warning is emitted)")
+    parser.add_argument("--vote_margin", type=float, default=0.0,
+                        help="flip a point only when the ensemble's mean "
+                             "P(flip) clears 0.5 by this margin (0 = "
+                             "reference vote; >0 suppresses low-confidence "
+                             "flips, trading vote recall for precision)")
     return parser
 
 
@@ -92,3 +97,4 @@ class PipelineOptions:
     mesh: object = None
     vote_starts: int = 1
     fps_starts: str = "rng"
+    vote_margin: float = 0.0

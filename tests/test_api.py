@@ -129,3 +129,23 @@ def test_orient_simple_batch_single_and_empty():
     (out,) = api.orient_simple_batch([pc])
     np.testing.assert_allclose(out, api.orient_simple(pc), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_vote_margin_gates_flips():
+    """vote_margin semantics: 0.0 is the reference vote bit-for-bit; 0.5
+    suppresses every flip (softmax probs are strictly inside (0,1)), making
+    the run identical to a no-model run with the same flags."""
+    from pathlib import Path
+
+    ckpt = Path(dipole_tpu.__file__).resolve().parent.parent / \
+        "pre_trained_tpu" / "dipole_0.pt"
+    gt = make_sphere(400, seed=9)
+    pc, _ = scramble_signs(gt, seed=10)
+    kw = dict(number_parts=2, minimum_points_per_patch=20, iters=1,
+              propagation_iters=1)
+    base = api.orient_patches(pc, models=[ckpt], **kw)
+    m0 = api.orient_patches(pc, models=[ckpt], vote_margin=0.0, **kw)
+    np.testing.assert_array_equal(m0, base)
+    no_models = api.orient_patches(pc, **kw)
+    gated = api.orient_patches(pc, models=[ckpt], vote_margin=0.5, **kw)
+    np.testing.assert_array_equal(gated, no_models)

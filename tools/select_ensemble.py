@@ -37,21 +37,22 @@ def _digest(pts):
     return h.hexdigest()[:24]
 
 
-def end_to_end(pts, shape, cache={}):
+def end_to_end(pts, shape, margin=0.0, cache={}):
     """GT sign agreement of the ensemble on the demo config for shape.
     Scores persist in a content-digest-keyed disk cache: the pipeline is
     deterministic (digest-keyed FPS starts), so a combo never needs to be
-    re-run across processes."""
+    re-run across processes. margin: vote_margin to run the pipeline with
+    (part of the cache key when nonzero)."""
     import json
 
     from dipole_tpu import api
     from dipole_tpu.models.inference import load_model_from_file
     from dipole_tpu.utils.io import load_xyz
 
-    key = (tuple(pts), shape)
+    key = (tuple(pts), shape, margin)
     if key in cache:
         return cache[key]
-    dkey = f"{_digest(pts)}:{shape}"
+    dkey = f"{_digest(pts)}:{shape}" + (f":m{margin}" if margin else "")
     disk = {}
     if CACHE_PATH.exists():
         disk = json.loads(CACHE_PATH.read_text())
@@ -64,7 +65,8 @@ def end_to_end(pts, shape, cache={}):
         gt[:, :3], models=models, iters=10, propagation_iters=5,
         number_parts=30, minimum_points_per_patch=100,
         curvature_threshold=0.01, diffuse=True, weighted_prop=True,
-        estimate=True, timer=lambda *_a, **_k: _Null())
+        estimate=True, vote_margin=margin,
+        timer=lambda *_a, **_k: _Null())
     agree = float(((out[:, 3:6] * gt[:, 3:6]).sum(-1) > 0).mean())
     cache[key] = agree
     if CACHE_PATH.exists():  # re-read: don't clobber concurrent writers
@@ -82,8 +84,8 @@ class _Null:
         return False
 
 
-def score(pts, shapes):
-    s = {sh: end_to_end(pts, sh) for sh in shapes}
+def score(pts, shapes, margin=0.0):
+    s = {sh: end_to_end(pts, sh, margin) for sh in shapes}
     return min(s.values()), s
 
 
@@ -92,44 +94,57 @@ def main():
 
     shapes = ["hand", "ok"]
     cands = []
+    base = []
+    margin = 0.0
     for a in sys.argv[1:]:
         if a.startswith("--shapes="):
             shapes = a.split("=", 1)[1].split(",")
+        elif a.startswith("--base="):
+            base = a.split("=", 1)[1].split(",")
+        elif a.startswith("--margin="):
+            margin = float(a.split("=", 1)[1])
         elif a.startswith("@"):
             cands.extend(PRESETS[a[1:]])
         else:
             cands.append(a)
-    if not cands:
+    if not cands and not base:
         print(__doc__)
         return
 
     singles = []
     for c in cands:
-        m, s = score([c], shapes)
+        m, s = score([c], shapes, margin)
         print(f"single {Path(c).name}: " +
               " ".join(f"{k}={v:.4f}" for k, v in s.items()), flush=True)
         singles.append((m, c))
     singles.sort(reverse=True)
-    chosen = [singles[0][1]]
-    best, bs = score(chosen, shapes)
-    print(f"start {Path(chosen[0]).name}: min={best:.4f}", flush=True)
+    chosen = list(base) if base else [singles[0][1]]
+    best, bs = score(chosen, shapes, margin)
+    print(f"start {'+'.join(Path(c).name for c in chosen)}: min={best:.4f} " +
+          " ".join(f"{k}={v:.4f}" for k, v in bs.items()), flush=True)
+    # steepest ascent: each round, evaluate every remaining candidate and
+    # add the argmax (first-improvement greedy measurably stops early on
+    # this landscape — ok moves in ~0.15 jumps when a cascade tips)
     improved = True
     while improved:
         improved = False
+        round_best = None
         for _, c in singles:
             if c in chosen:
                 continue
-            m, s = score(chosen + [c], shapes)
+            m, s = score(chosen + [c], shapes, margin)
             print(f"  try +{Path(c).name}: min={m:.4f} " +
                   " ".join(f"{k}={v:.4f}" for k, v in s.items()), flush=True)
-            if m > best:
-                best, bs = m, s
-                chosen.append(c)
-                improved = True
-                break
+            if round_best is None or m > round_best[0]:
+                round_best = (m, s, c)
+        if round_best and round_best[0] > best:
+            best, bs, c = round_best
+            chosen.append(c)
+            improved = True
+            print(f"  += {Path(c).name} -> min={best:.4f}", flush=True)
     print("chosen:", [str(c) for c in chosen])
     print("scores:", " ".join(f"{k}={v:.4f}" for k, v in bs.items()),
-          f"min={best:.4f}")
+          f"min={best:.4f}", f"margin={margin}")
 
 
 if __name__ == "__main__":
