@@ -42,8 +42,13 @@ def end_to_end(pts, shape, margin=0.0, cache={}):
     Scores persist in a content-digest-keyed disk cache: the pipeline is
     deterministic (digest-keyed FPS starts), so a combo never needs to be
     re-run across processes. margin: vote_margin to run the pipeline with
-    (part of the cache key when nonzero)."""
+    (part of the cache key when nonzero). The JAX backend is part of the
+    key: the cascade is numerically chaotic across backends (measured
+    2026-08-19: the same pair scored ok 0.9536 on TPU vs 0.7990 on CPU),
+    so a CPU-computed score must never answer a TPU query."""
     import json
+
+    import jax
 
     from dipole_tpu import api
     from dipole_tpu.models.inference import load_model_from_file
@@ -52,7 +57,8 @@ def end_to_end(pts, shape, margin=0.0, cache={}):
     key = (tuple(pts), shape, margin)
     if key in cache:
         return cache[key]
-    dkey = f"{_digest(pts)}:{shape}" + (f":m{margin}" if margin else "")
+    dkey = (f"{_digest(pts)}:{shape}:{jax.default_backend()}" +
+            (f":m{margin}" if margin else ""))
     disk = {}
     if CACHE_PATH.exists():
         disk = json.loads(CACHE_PATH.read_text())
