@@ -456,6 +456,11 @@ def greedy_sign_sequence_pallas_streamed(pts, starting_point: int = 0,
 # the HBM traffic as the price of unbounded state.
 MAX_PALLAS_XL = 2**24
 
+# XL panels are wider than the streamed kernel's: with acc/state panels also
+# in flight the per-chunk fixed DMA cost is 3x, so fewer/larger chunks win.
+# (2, 48, 16384) pts + 3x(2, 8, 16384) panels = 9.4 MB scoped VMEM < 16 MB.
+_XL_CHUNK = 16384
+
 
 def _greedy_xl_kernel(scal_ref, pts_hbm, acc_in, state_in, carry_in,
                       acc_out, state_out, carry_ref):
@@ -469,7 +474,7 @@ def _greedy_xl_kernel(scal_ref, pts_hbm, acc_in, state_in, carry_in,
     pending selection at lanes (0,0)/(0,1) (c exact in f32 up to 2^24).
     carry_ref (8, 128) VMEM out: updated [m, c]."""
     M = acc_out.shape[1]
-    chunk = min(_STREAM_CHUNK, M)
+    chunk = min(_XL_CHUNK, M)
     while M % chunk:
         chunk //= 2
     K = M // chunk
@@ -485,9 +490,26 @@ def _greedy_xl_kernel(scal_ref, pts_hbm, acc_in, state_in, carry_in,
     def flat_chunk(base):
         return crows * M + base + clanes
 
-    def body(bufs, bsem, apan, asem, acur, span, ssem, cur, csem):
+    def body(bufs, bsem, apan, aisem, awb, aosem, span, sisem,
+             scur, sqsem, acur, asem, cur, csem):
         currows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         curlanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        # Mosaic rejects scalar stores into VMEM refs, so the (m, c) carry
+        # is always moved as a full (8, 128) plane: masked broadcast on
+        # store, masked-sum extraction on load (interpret mode accepts the
+        # scalar form, real lowering does not — r5 hardware finding).
+        m_lane = (currows == 0) & (curlanes == 0)
+        c_lane = (currows == 0) & (curlanes == 1)
+
+        def carry_store(m, c):
+            carry_ref[:, :] = jnp.where(
+                m_lane, m, jnp.where(c_lane, c.astype(jnp.float32), 0.0))
+
+        def carry_load():
+            plane = carry_ref[:, :]
+            m = jnp.sum(jnp.where(m_lane, plane, 0.0))
+            c = jnp.sum(jnp.where(c_lane, plane, 0.0)).astype(jnp.int32)
+            return m, c
 
         def fetch_point(c):
             lane = c % M
@@ -514,124 +536,183 @@ def _greedy_xl_kernel(scal_ref, pts_hbm, acc_in, state_in, carry_in,
             hit = (currows == c // M) & (curlanes == lane - base)
             return jnp.sum(jnp.where(hit, acur[:, :], 0.0))
 
-        def chunk_dma(slot, k):
+        def flip_state(c, upd):
+            """Flip the winner's HBM state in place via its 128-lane panel
+            (read-modify-write). The only state write a step needs — the r4
+            kernel's full-chunk write-back inside the sweep was one of the
+            per-chunk blocking round trips behind its 25x hardware slowdown."""
+            lane = c % M
+            base = (lane // 128) * 128
+            d_in = pltpu.make_async_copy(
+                state_out.at[:, pl.ds(base, 128)], scur, sqsem)
+            d_in.start()
+            d_in.wait()
+            hit = (currows == c // M) & (curlanes == lane - base)
+            scur[:, :] = jnp.where(hit, upd, scur[:, :])
+            d_out = pltpu.make_async_copy(
+                scur, state_out.at[:, pl.ds(base, 128)], sqsem)
+            d_out.start()
+            d_out.wait()
+
+        def pts_dma(slot, k):
             return pltpu.make_async_copy(
                 pts_hbm.at[:, pl.ds(k * chunk, chunk)],
                 bufs.at[slot], bsem.at[slot])
 
-        def sweep(sv, upd, flip_c, init: bool):
-            """acc[:, k-chunk] (+)= upd * column(sv) for every chunk, fusing
-            the NEXT selection's masked (max, min-index) merge and the
-            winner's state flip (chunk flip_c // chunk only). Returns the
-            merged (m, c). init=True writes acc and builds initial state."""
+        def acc_dma(slot, k):
+            return pltpu.make_async_copy(
+                acc_in.at[:, pl.ds(k * chunk, chunk)],
+                apan.at[slot], aisem.at[slot])
+
+        def state_dma(slot, k):
+            return pltpu.make_async_copy(
+                state_in.at[:, pl.ds(k * chunk, chunk)],
+                span.at[slot], sisem.at[slot])
+
+        def accw_dma(slot, k):
+            return pltpu.make_async_copy(
+                awb.at[slot], acc_out.at[:, pl.ds(k * chunk, chunk)],
+                aosem.at[slot])
+
+        def column(buf, sv):
+            """Dipole interaction column of source sv against one (48, chunk)
+            cloud panel (same algebra as the streamed kernel)."""
             sx, sy, sz, spx, spy, spz = sv
-            chunk_dma(0, 0).start()
+            x = buf[0:8, :]
+            y = buf[8:16, :]
+            z = buf[16:24, :]
+            px = buf[24:32, :]
+            py = buf[32:40, :]
+            pz = buf[40:48, :]
+            Rx = sx - x
+            Ry = sy - y
+            Rz = sz - z
+            r2 = Rx * Rx + Ry * Ry + Rz * Rz
+            zero = r2 == 0.0
+            rr = jnp.sqrt(r2)
+            denom = rr * r2 + eps
+            cdot = spx * Rx + spy * Ry + spz * Rz
+            Rn = px * Rx + py * Ry + pz * Rz
+            pn = spx * px + spy * py + spz * pz
+            safe_r2 = jnp.where(zero, 1.0, r2)
+            t = 1.0 / (safe_r2 * denom)
+            col = -t * (3.0 * cdot * Rn - pn * safe_r2)
+            col = jnp.where(zero, 0.0, col)
+            return jnp.where(jnp.isfinite(col), col, 0.0)
+
+        def merge(carry, masked, fl):
+            """(max, min-index) tie-break merge — identical to every other
+            greedy path (ties to the lowest flat index)."""
+            m, c = carry
+            lm = jnp.max(masked)
+            lc = jnp.min(jnp.where(masked == lm, fl, _IMAX))
+            c = jnp.where(lm > m, lc,
+                          jnp.where(lm == m, jnp.minimum(c, lc), c))
+            return jnp.maximum(m, lm), c
+
+        def sweep_init(sv):
+            """First-segment init: acc = start column, state seeded. Serial
+            write waits (runs once per cloud — latency-irrelevant)."""
+            pts_dma(0, 0).start()
 
             def cbody(k, carry):
-                m, c = carry
                 slot = jax.lax.rem(k, 2)
 
                 @pl.when(k + 1 < K)
                 def _():
-                    chunk_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+                    pts_dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
-                sl = pl.ds(k * chunk, chunk)
-                # acc + state panels for this chunk (skip acc read on init)
-                din = pltpu.make_async_copy(state_in.at[:, sl], span, ssem)
-                din.start()
-                if not init:
-                    ain = pltpu.make_async_copy(
-                        acc_in.at[:, sl], apan.at[1], asem)
-                    ain.start()
-                    ain.wait()
-                din.wait()
-                pltpu.make_async_copy(
-                    pts_hbm.at[:, sl], bufs.at[slot], bsem.at[slot]).wait()
-                buf = bufs[slot]
-                x = buf[0:8, :]
-                y = buf[8:16, :]
-                z = buf[16:24, :]
-                px = buf[24:32, :]
-                py = buf[32:40, :]
-                pz = buf[40:48, :]
-                Rx = sx - x
-                Ry = sy - y
-                Rz = sz - z
-                r2 = Rx * Rx + Ry * Ry + Rz * Rz
-                zero = r2 == 0.0
-                rr = jnp.sqrt(r2)
-                denom = rr * r2 + eps
-                cdot = spx * Rx + spy * Ry + spz * Rz
-                Rn = px * Rx + py * Ry + pz * Rz
-                pn = spx * px + spy * py + spz * pz
-                safe_r2 = jnp.where(zero, 1.0, r2)
-                t = 1.0 / (safe_r2 * denom)
-                col = -t * (3.0 * cdot * Rn - pn * safe_r2)
-                col = jnp.where(zero, 0.0, col)
-                col = jnp.where(jnp.isfinite(col), col, 0.0)
+                pts_dma(slot, k).wait()
+                acc_new = column(bufs[slot], sv)
                 fl = flat_chunk(k * chunk)
-                if init:
-                    acc_new = upd * col
-                    state_new = jnp.where(
-                        fl == start, 1.0, jnp.where(fl >= n_real, 2.0, 0.0))
-                else:
-                    acc_new = apan[1] + upd * col
-                    state_new = jnp.where(fl == flip_c, upd, span[:, :])
-                apan[1] = acc_new
-                aout = pltpu.make_async_copy(
-                    apan.at[1], acc_out.at[:, sl], asem)
-                aout.start()
-                # state write-back: init writes every chunk; steps write only
-                # the winner's chunk (the only one that changed)
-                span[:, :] = state_new
-                if init:
-                    sout = pltpu.make_async_copy(
-                        span, state_out.at[:, sl], ssem)
-                    sout.start()
-                    sout.wait()
-                else:
-                    @pl.when((flip_c % M) // chunk == k)
-                    def _():
-                        s2 = pltpu.make_async_copy(
-                            span, state_out.at[:, sl], ssem)
-                        s2.start()
-                        s2.wait()
-                # next-step selection merge over the UPDATED chunk
-                masked = jnp.where(state_new != 0.0, _NEG, jnp.abs(acc_new))
-                lm = jnp.max(masked)
-                lc = jnp.min(jnp.where(masked == lm, fl, _IMAX))
-                c = jnp.where(lm > m, lc,
-                              jnp.where(lm == m, jnp.minimum(c, lc), c))
-                m = jnp.maximum(m, lm)
-                aout.wait()
-                return m, c
+                state_new = jnp.where(
+                    fl == start, 1.0, jnp.where(fl >= n_real, 2.0, 0.0))
+                awb[slot] = acc_new
+                aw = accw_dma(slot, k)
+                aw.start()
+                span[slot] = state_new
+                sw = pltpu.make_async_copy(
+                    span.at[slot], state_out.at[:, pl.ds(k * chunk, chunk)],
+                    sisem.at[slot])
+                sw.start()
+                carry = merge(carry, jnp.where(state_new != 0.0, _NEG,
+                                               jnp.abs(acc_new)), fl)
+                aw.wait()
+                sw.wait()
+                return carry
 
             return jax.lax.fori_loop(
                 0, K, cbody, (jnp.float32(-jnp.inf), _IMAX))
 
+        def sweep(sv, upd, flip_c):
+            """acc[:, chunk k] += upd * column(sv) for every chunk, fusing
+            the NEXT selection's masked (max, min-index) merge. Fully
+            pipelined: pts/acc/state panels for chunk k+1 prefetch while
+            chunk k computes, and chunk k's acc write-back is only waited on
+            when its buffer slot is reused at k+2 — the r4 kernel's serial
+            per-chunk round trips measured 25x slower than the streamed
+            kernel on hardware (520 us/step vs 21 us/step at 200k)."""
+            pts_dma(0, 0).start()
+            acc_dma(0, 0).start()
+            state_dma(0, 0).start()
+
+            def cbody(k, carry):
+                slot = jax.lax.rem(k, 2)
+
+                @pl.when(k + 1 < K)
+                def _():
+                    nslot = jax.lax.rem(k + 1, 2)
+                    pts_dma(nslot, k + 1).start()
+                    acc_dma(nslot, k + 1).start()
+                    state_dma(nslot, k + 1).start()
+
+                # the slot's previous write-back must land before reuse
+                @pl.when(k >= 2)
+                def _():
+                    accw_dma(slot, k - 2).wait()
+
+                pts_dma(slot, k).wait()
+                acc_dma(slot, k).wait()
+                state_dma(slot, k).wait()
+                acc_new = apan[slot] + upd * column(bufs[slot], sv)
+                awb[slot] = acc_new
+                accw_dma(slot, k).start()
+                fl = flat_chunk(k * chunk)
+                # the winner's flip is already in HBM (flip_state runs before
+                # the sweep); the fl == flip_c guard is belt-and-braces for
+                # panels fetched before the flip landed
+                visited = (span[slot] != 0.0) | (fl == flip_c)
+                carry = merge(carry, jnp.where(visited, _NEG,
+                                               jnp.abs(acc_new)), fl)
+                return carry
+
+            out = jax.lax.fori_loop(
+                0, K, cbody, (jnp.float32(-jnp.inf), _IMAX))
+            accw_dma(jax.lax.rem(K - 1, 2), K - 1).wait()
+            if K >= 2:
+                accw_dma(jax.lax.rem(K - 2, 2), K - 2).wait()
+            return out
+
         @pl.when(init_flag)
         def _():
-            m0, c0 = sweep(fetch_point(start), jnp.float32(1.0), -1, True)
-            carry_ref[:, :] = jnp.zeros((8, 128), jnp.float32)
-            carry_ref[0, 0] = m0
-            carry_ref[0, 1] = c0.astype(jnp.float32)
+            m0, c0 = sweep_init(fetch_point(start))
+            carry_store(m0, c0)
 
         @pl.when(jnp.logical_not(init_flag))
         def _():
             carry_ref[:, :] = carry_in[:, :]
 
         def step(_, __):
-            m = carry_ref[0, 0]
-            c = carry_ref[0, 1].astype(jnp.int32)
+            m, c = carry_load()
             live = m > _NEG / 2
 
             @pl.when(live)
             def _():
                 acc_c = fetch_acc(c)
                 s = jnp.where(acc_c < 0, -1.0, 1.0)
-                m2, c2 = sweep(fetch_point(c), s, c, False)
-                carry_ref[0, 0] = m2
-                carry_ref[0, 1] = c2.astype(jnp.float32)
+                flip_state(c, s)
+                m2, c2 = sweep(fetch_point(c), s, c)
+                carry_store(m2, c2)
 
             return 0
 
@@ -642,10 +723,15 @@ def _greedy_xl_kernel(scal_ref, pts_hbm, acc_in, state_in, carry_in,
         bufs=pltpu.VMEM((2, 48, chunk), jnp.float32),
         bsem=pltpu.SemaphoreType.DMA((2,)),
         apan=pltpu.VMEM((2, 8, chunk), jnp.float32),
-        asem=pltpu.SemaphoreType.DMA(()),
+        aisem=pltpu.SemaphoreType.DMA((2,)),
+        awb=pltpu.VMEM((2, 8, chunk), jnp.float32),
+        aosem=pltpu.SemaphoreType.DMA((2,)),
+        span=pltpu.VMEM((2, 8, chunk), jnp.float32),
+        sisem=pltpu.SemaphoreType.DMA((2,)),
+        scur=pltpu.VMEM((8, 128), jnp.float32),
+        sqsem=pltpu.SemaphoreType.DMA(()),
         acur=pltpu.VMEM((8, 128), jnp.float32),
-        span=pltpu.VMEM((8, chunk), jnp.float32),
-        ssem=pltpu.SemaphoreType.DMA(()),
+        asem=pltpu.SemaphoreType.DMA(()),
         cur=pltpu.VMEM((48, 128), jnp.float32),
         csem=pltpu.SemaphoreType.DMA(()),
     )
