@@ -137,6 +137,32 @@ def test_pallas_greedy_xl_matches_scan_interpret():
     np.testing.assert_allclose(acc_p, np.asarray(acc_s), rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_greedy_xl_many_chunks_interpret(monkeypatch):
+    """K >= 3 sweep chunks: exercises the pipelined prefetch + deferred
+    acc write-back waits (slot reuse at k+2) and the epilogue waits — at
+    full _XL_CHUNK width that path only engages past ~400k points, far
+    beyond interpret-mode reach, so the chunk width is shrunk instead."""
+    import os
+
+    from dipole_tpu.ops import propagate, propagate_pallas
+    from tests.conftest import make_sphere, scramble_signs
+
+    pc, _ = scramble_signs(make_sphere(900, seed=51), seed=52)
+    monkeypatch.setattr(propagate_pallas, "_XL_CHUNK", 32)
+    # nb = 1024 -> M = 128 -> K = 4 chunks per sweep
+    with pltpu.force_tpu_interpret_mode():
+        acc_p, sign_p = propagate_pallas.greedy_sign_sequence_pallas_xl(
+            pc, starting_point=5, eps=1e-6)
+    os.environ["DIPOLE_TPU_NO_PALLAS"] = "1"
+    try:
+        acc_s, sign_s = propagate.greedy_sign_sequence(
+            pc, starting_point=5, matrix_limit=0)
+    finally:
+        os.environ.pop("DIPOLE_TPU_NO_PALLAS")
+    assert (np.asarray(sign_s) == sign_p).all()
+    np.testing.assert_allclose(acc_p, np.asarray(acc_s), rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_greedy_xl_multisegment_interpret(monkeypatch):
     """Segmented XL launches must be bit-identical to one launch."""
     from dipole_tpu.ops import propagate_pallas
