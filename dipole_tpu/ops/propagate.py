@@ -177,7 +177,11 @@ def greedy_sign_sequence(pts, starting_point: int = 0, eps: float = 1e-6,
         if n <= propagate_pallas.MAX_PALLAS_STREAMED:
             # beyond VMEM residency: cloud streamed from HBM per step, only
             # accumulator + sign state resident — closes the 262k capacity
-            # cliff up to ~1M points on one chip, identical decisions
+            # cliff up to ~1M points on one chip, identical decisions.
+            # Crossover vs XL measured r5: warm streamed wins to 1M (44.9 s
+            # vs ~53 s) but its compile is far heavier (cold at 1M: 251.8 s
+            # vs XL 60.5 s) — the warm/resident serving mode this tier
+            # targets amortizes that; one-shot >=1M runs land in XL anyway.
             return propagate_pallas.greedy_sign_sequence_pallas_streamed(
                 pts, starting_point, eps
             )
