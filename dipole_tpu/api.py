@@ -229,7 +229,8 @@ def orient_patches(points, models=(), iters: int = 100,
                    torch_rng: int | None = None,
                    vote_starts: int = 1,
                    fps_starts: str = "rng",
-                   vote_margin: float = 0.0) -> np.ndarray:
+                   vote_margin: float = 0.0,
+                   fix_models=(), fix_margin: float = 0.25) -> np.ndarray:
     """Patch pipeline with PointCNN ensemble correction (reference
     orient_pointcloud.py:11-83): voxel patches -> curvature filter ->
     orient_center -> iterate {ensemble votes, periodic patch propagation} ->
@@ -254,7 +255,23 @@ def orient_patches(points, models=(), iters: int = 100,
     clears 0.5 by this margin (flip where p < 0.5 - margin). 0.0 is the
     reference vote (inference_utils.py:47-49); >0 trades vote recall for
     precision — low-confidence flips are suppressed, which protects
-    well-initialized patches from noisy votes."""
+    well-initialized patches from noisy votes.
+
+    fix_models / fix_margin: STAGED vote — a second, per-point fix pass
+    after each gauge vote. Motivation (measured, BASELINE.md round-4/5
+    training sections): checkpoint families divide the labor — gauge
+    voters pick keep-all/flip-all per patch very well but never fix
+    points inside a patch (fix rate 0.000), while gauge-free-trained
+    fixers repair coherent minority regions (fix rates 0.25-0.35) but
+    are weak gauge pickers; pooling both into ONE mean-probability vote
+    (inference_utils.py:47-49 semantics) lets fixer confidence swing
+    whole-patch gauges and craters accuracy (measured ok 0.9717 -> 0.8906).
+    The staged pass keeps the duties separate: `models` own the patch
+    gauge exactly as before; `fix_models` then flip only points whose
+    mean P(flip) clears 0.5 by fix_margin, and only when the flip set is
+    a strict minority of the patch (a majority flip is a gauge claim,
+    which stage 1 owns — it is discarded). Empty fix_models is exactly
+    the unstaged pipeline."""
     import jax
 
     if torch_rng is not None and int(vote_starts) != 1:
@@ -278,6 +295,7 @@ def orient_patches(points, models=(), iters: int = 100,
     input_pc, transform = Transform.trans(pc)
 
     models = _as_models(models)
+    fix_models = _as_models(fix_models)
 
     with stage_timer("voxel patching"):
         all_patches = divide_pc(input_pc[:, :3], number_parts,
@@ -327,6 +345,23 @@ def orient_patches(points, models=(), iters: int = 100,
                     pc_probs[pidx] = probs
                     input_pc[pidx[flip], 3:6] *= -1
 
+            if fix_models and patch_indices:
+                # staged per-point fix pass on the gauge-corrected patches
+                # (see docstring); keyed independently of the gauge stream
+                key, sub = derive_keys_cpu(
+                    lambda put: jax.random.split(put(key)))
+                fvotes = ensemble_vote_patches(
+                    fix_models, [input_pc[pidx] for _, pidx in patch_indices],
+                    key=sub, mesh=stage_mesh(mesh, "ensemble"),
+                    fps_starts=fps_starts,
+                )
+                for (_, pidx), (_f, probs) in zip(patch_indices, fvotes):
+                    flip = probs < (0.5 - fix_margin)
+                    if flip.mean() >= 0.5:
+                        continue  # majority flip = gauge claim, stage 1 owns
+                    pc_probs[pidx[flip]] = 1 - probs[flip]
+                    input_pc[pidx[flip], 3:6] *= -1
+
             if it % propagation_iters == 0 and (it != 0 or propagation_iters == 1):
                 with stage_timer("patch propagation"):
                     input_pc = propagate_now()
@@ -344,15 +379,17 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
                  curvature_threshold: float = 0.0, estimate: bool = False,
                  n: int = 30, seed: int = 1, timer=None, mesh=None,
                  vote_starts: int = 1, fps_starts: str = "rng",
-                 vote_margin: float = 0.0) -> np.ndarray:
+                 vote_margin: float = 0.0,
+                 fix_models=(), fix_margin: float = 0.25) -> np.ndarray:
     """Large clouds via <=500 representative points per patch (reference
     orient_large.py:10-90). NOTE pipeline-order parity: normals are estimated
     AFTER normalization here (the reference does the same only in this
     pipeline, orient_large.py:17-24). mesh: optional Mesh / device count /
     'auto' — ensemble forwards, the rep-interaction matrix and the rest-point
     field pass shard over the devices (results unchanged).
-    vote_starts: FPS-start ensembling; vote_margin: confidence-gated flips
-    (see orient_patches)."""
+    vote_starts: FPS-start ensembling; vote_margin: confidence-gated flips;
+    fix_models/fix_margin: staged per-point fix pass on the representative
+    sets after each gauge vote (see orient_patches)."""
     import jax
 
     stage_timer = timer or timer_factory()
@@ -365,6 +402,7 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
             input_pc = estimate_normals(input_pc, max_nn=n)
 
     models = _as_models(models)
+    fix_models = _as_models(fix_models)
 
     with stage_timer("voxel patching"):
         all_patches = divide_pc(input_pc[:, :3], number_parts,
@@ -409,6 +447,21 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
                     flip = probs < (0.5 - vote_margin)
                 pc_probs[reps] = probs
                 input_pc[reps[flip], 3:6] *= -1
+            if fix_models:
+                # staged per-point fix pass (see orient_patches docstring)
+                key, sub = derive_keys_cpu(
+                    lambda put: jax.random.split(put(key)))
+                fvotes = ensemble_vote_patches(
+                    fix_models, [input_pc[r] for r in rep_sets], key=sub,
+                    mesh=stage_mesh(mesh, "ensemble"),
+                    fps_starts=fps_starts,
+                )
+                for reps, (_f, probs) in zip(rep_sets, fvotes):
+                    flip = probs < (0.5 - fix_margin)
+                    if flip.mean() >= 0.5:
+                        continue
+                    pc_probs[reps[flip]] = 1 - probs[flip]
+                    input_pc[reps[flip], 3:6] *= -1
 
     with stage_timer("dipole propagation"):
         input_pc = propagate.strongest_field_propagation_reps(

@@ -37,6 +37,8 @@ def run(opts):
         vote_starts=getattr(opts, "vote_starts", 1),
         fps_starts=getattr(opts, "fps_starts", "rng"),
         vote_margin=getattr(opts, "vote_margin", 0.0),
+        fix_models=getattr(opts, "fix_models", ()),
+        fix_margin=getattr(opts, "fix_margin", 0.25),
     )
 
     with stage_timer("export oriented cloud", count=False):

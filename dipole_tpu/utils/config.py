@@ -51,6 +51,14 @@ def get_parser(name: str = "Base Options") -> argparse.ArgumentParser:
                              "P(flip) clears 0.5 by this margin (0 = "
                              "reference vote; >0 suppresses low-confidence "
                              "flips, trading vote recall for precision)")
+    parser.add_argument("--fix_models", nargs="+", type=Path, default=[],
+                        help="staged vote: checkpoints for a per-point fix "
+                             "pass run after each --models gauge vote; "
+                             "flips only margin-clearing strict-minority "
+                             "point sets (api.orient_patches docstring)")
+    parser.add_argument("--fix_margin", type=float, default=0.25,
+                        help="confidence margin for the --fix_models pass "
+                             "(flip where mean P(flip) < 0.5 - fix_margin)")
     return parser
 
 
@@ -98,3 +106,5 @@ class PipelineOptions:
     vote_starts: int = 1
     fps_starts: str = "rng"
     vote_margin: float = 0.0
+    fix_models: list = field(default_factory=list)
+    fix_margin: float = 0.25

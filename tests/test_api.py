@@ -149,3 +149,60 @@ def test_vote_margin_gates_flips():
     no_models = api.orient_patches(pc, **kw)
     gated = api.orient_patches(pc, models=[ckpt], vote_margin=0.5, **kw)
     np.testing.assert_array_equal(gated, no_models)
+
+
+def test_fix_models_staged_noop_paths():
+    """Staged fix pass no-op contracts: an empty fix_models list is exactly
+    the unstaged pipeline, and fix_margin 0.5 suppresses every fix flip
+    (softmax probs are strictly inside (0,1)) so the staged run is
+    bit-identical to the unstaged one."""
+    from pathlib import Path
+
+    root = Path(dipole_tpu.__file__).resolve().parent.parent
+    ckpt = root / "pre_trained_tpu" / "dipole_0.pt"
+    fck = root / "pre_trained_tpu" / "dipole_r5_fixA.pt"
+    gt = make_sphere(400, seed=9)
+    pc, _ = scramble_signs(gt, seed=10)
+    kw = dict(number_parts=2, minimum_points_per_patch=20, iters=1,
+              propagation_iters=1)
+    base = api.orient_patches(pc, models=[ckpt], **kw)
+    empty = api.orient_patches(pc, models=[ckpt], fix_models=[], **kw)
+    np.testing.assert_array_equal(empty, base)
+    gated = api.orient_patches(pc, models=[ckpt], fix_models=[fck],
+                               fix_margin=0.5, **kw)
+    np.testing.assert_array_equal(gated, base)
+
+
+def test_fix_pass_minority_guard(monkeypatch):
+    """The fix pass flips margin-clearing strict-minority point sets and
+    discards majority flips (a majority flip is a gauge claim, which the
+    stage-1 models own)."""
+    gt = make_sphere(300, seed=11)  # GT normals in: fix flips break them
+
+    def fake_as_models(ms):
+        return list(ms or [])
+
+    def fake_vote(models, patches, **kw):
+        frac = float(models[0])
+        out = []
+        for p in patches:
+            probs = np.full(len(p), 0.9, np.float32)  # keep everything
+            if frac:
+                thr = np.quantile(p[:, 0], 1.0 - frac)
+                probs[p[:, 0] > thr] = 0.05  # demand flips above quantile
+            out.append((probs < 0.5, probs))
+        return out
+
+    monkeypatch.setattr(api, "_as_models", fake_as_models)
+    monkeypatch.setattr(api, "ensemble_vote_patches", fake_vote)
+    kw = dict(number_parts=1, minimum_points_per_patch=10, iters=1,
+              propagation_iters=10)
+    keep = api.orient_patches(gt, models=[0.0], fix_models=[0.0], **kw)
+    minority = api.orient_patches(gt, models=[0.0], fix_models=[0.1], **kw)
+    majority = api.orient_patches(gt, models=[0.0], fix_models=[0.7], **kw)
+    # majority flip demanded -> discarded by the guard -> identical run
+    np.testing.assert_array_equal(majority, keep)
+    # minority flip demanded -> exactly the ~10% demanded points differ
+    diff = (keep[:, 3:6] * minority[:, 3:6]).sum(-1) < 0
+    assert 0 < diff.sum() <= 31
+    assert diff.sum() >= 29

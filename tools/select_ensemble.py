@@ -37,7 +37,8 @@ def _digest(pts):
     return h.hexdigest()[:24]
 
 
-def end_to_end(pts, shape, margin=0.0, cache={}):
+def end_to_end(pts, shape, margin=0.0, fix_pts=(), fix_margin=0.25,
+               cache={}):
     """GT sign agreement of the ensemble on the demo config for shape.
     Scores persist in a content-digest-keyed disk cache: the pipeline is
     deterministic (digest-keyed FPS starts), so a combo never needs to be
@@ -54,11 +55,12 @@ def end_to_end(pts, shape, margin=0.0, cache={}):
     from dipole_tpu.models.inference import load_model_from_file
     from dipole_tpu.utils.io import load_xyz
 
-    key = (tuple(pts), shape, margin)
+    key = (tuple(pts), shape, margin, tuple(fix_pts), fix_margin)
     if key in cache:
         return cache[key]
     dkey = (f"{_digest(pts)}:{shape}:{jax.default_backend()}" +
-            (f":m{margin}" if margin else ""))
+            (f":m{margin}" if margin else "") +
+            (f":fix{_digest(fix_pts)}:fm{fix_margin}" if fix_pts else ""))
     disk = {}
     if CACHE_PATH.exists():
         disk = json.loads(CACHE_PATH.read_text())
@@ -72,6 +74,8 @@ def end_to_end(pts, shape, margin=0.0, cache={}):
         number_parts=30, minimum_points_per_patch=100,
         curvature_threshold=0.01, diffuse=True, weighted_prop=True,
         estimate=True, vote_margin=margin,
+        fix_models=[load_model_from_file(str(p)) for p in fix_pts],
+        fix_margin=fix_margin,
         timer=lambda *_a, **_k: _Null())
     agree = float(((out[:, 3:6] * gt[:, 3:6]).sum(-1) > 0).mean())
     cache[key] = agree
@@ -90,8 +94,9 @@ class _Null:
         return False
 
 
-def score(pts, shapes, margin=0.0):
-    s = {sh: end_to_end(pts, sh, margin) for sh in shapes}
+def score(pts, shapes, margin=0.0, fix_pts=(), fix_margin=0.25):
+    s = {sh: end_to_end(pts, sh, margin, fix_pts, fix_margin)
+         for sh in shapes}
     return min(s.values()), s
 
 
