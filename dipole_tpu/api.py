@@ -230,7 +230,9 @@ def orient_patches(points, models=(), iters: int = 100,
                    vote_starts: int = 1,
                    fps_starts: str = "rng",
                    vote_margin: float = 0.0,
-                   fix_models=(), fix_margin: float = 0.25) -> np.ndarray:
+                   fix_models=(), fix_margin: float = 0.25,
+                   fix_when: str = "last",
+                   fix_vote: str = "all") -> np.ndarray:
     """Patch pipeline with PointCNN ensemble correction (reference
     orient_pointcloud.py:11-83): voxel patches -> curvature filter ->
     orient_center -> iterate {ensemble votes, periodic patch propagation} ->
@@ -268,10 +270,22 @@ def orient_patches(points, models=(), iters: int = 100,
     whole-patch gauges and craters accuracy (measured ok 0.9717 -> 0.8906).
     The staged pass keeps the duties separate: `models` own the patch
     gauge exactly as before; `fix_models` then flip only points whose
-    mean P(flip) clears 0.5 by fix_margin, and only when the flip set is
+    P(flip) clears 0.5 by fix_margin, and only when the flip set is
     a strict minority of the patch (a majority flip is a gauge claim,
     which stage 1 owns — it is discarded). Empty fix_models is exactly
-    the unstaged pipeline."""
+    the unstaged pipeline.
+
+    fix_when: 'last' (default) runs the fix pass ONCE, after the vote
+    loop and before the final propagation — the e2e loss localization
+    (tools/e2e_patch_diagnostic.py, 2026-08-19) shows the converged
+    pipeline's residue is per-point regions with ZERO gauge-flipped
+    patches, i.e. one post-cascade repair is the matched intervention;
+    'every' repeats the pass each iteration (measured: false flips
+    compound across the 10-iteration loop — ok 0.9754 -> 0.9475).
+    fix_vote: 'all' flips only points EVERY fixer clears the margin on
+    (unanimity — precision over recall; the loop has no second chance
+    to undo a false flip under 'last'); 'mean' uses the reference-style
+    mean probability (inference_utils.py:47-49 semantics)."""
     import jax
 
     if torch_rng is not None and int(vote_starts) != 1:
@@ -322,6 +336,40 @@ def orient_patches(points, models=(), iters: int = 100,
             mesh=stage_mesh(mesh, "patch", len(input_pc)),
         )
 
+    if fix_when not in ("last", "every"):
+        raise ValueError(f"fix_when must be 'last' or 'every', "
+                         f"got {fix_when!r}")
+    if fix_vote not in ("all", "mean"):
+        raise ValueError(f"fix_vote must be 'all' or 'mean', "
+                         f"got {fix_vote!r}")
+
+    def _fix_pass():
+        # staged per-point fix pass on the gauge-corrected patches (see
+        # docstring); keyed independently of the gauge stream
+        nonlocal key
+        if not (fix_models and patch_indices):
+            return
+        key, sub = derive_keys_cpu(lambda put: jax.random.split(put(key)))
+        patches_now = [input_pc[pidx] for _, pidx in patch_indices]
+        fmesh = stage_mesh(mesh, "ensemble")
+        if fix_vote == "all":
+            # unanimity: every fixer must clear the margin on its own
+            per_model = [ensemble_vote_patches(
+                [m], patches_now, key=sub, mesh=fmesh,
+                fps_starts=fps_starts) for m in fix_models]
+            plist = [np.max([pm[i][1] for pm in per_model], axis=0)
+                     for i in range(len(patches_now))]
+        else:
+            plist = [p for _f, p in ensemble_vote_patches(
+                fix_models, patches_now, key=sub, mesh=fmesh,
+                fps_starts=fps_starts)]
+        for (_, pidx), probs in zip(patch_indices, plist):
+            flip = probs < (0.5 - fix_margin)
+            if flip.mean() >= 0.5:
+                continue  # majority flip = gauge claim, stage 1 owns
+            pc_probs[pidx[flip]] = 1 - probs[flip]
+            input_pc[pidx[flip], 3:6] *= -1
+
     for it in range(iters):
         with stage_timer(f"iteration {it}"):
             if models and patch_indices:
@@ -345,26 +393,16 @@ def orient_patches(points, models=(), iters: int = 100,
                     pc_probs[pidx] = probs
                     input_pc[pidx[flip], 3:6] *= -1
 
-            if fix_models and patch_indices:
-                # staged per-point fix pass on the gauge-corrected patches
-                # (see docstring); keyed independently of the gauge stream
-                key, sub = derive_keys_cpu(
-                    lambda put: jax.random.split(put(key)))
-                fvotes = ensemble_vote_patches(
-                    fix_models, [input_pc[pidx] for _, pidx in patch_indices],
-                    key=sub, mesh=stage_mesh(mesh, "ensemble"),
-                    fps_starts=fps_starts,
-                )
-                for (_, pidx), (_f, probs) in zip(patch_indices, fvotes):
-                    flip = probs < (0.5 - fix_margin)
-                    if flip.mean() >= 0.5:
-                        continue  # majority flip = gauge claim, stage 1 owns
-                    pc_probs[pidx[flip]] = 1 - probs[flip]
-                    input_pc[pidx[flip], 3:6] *= -1
+            if fix_when == "every":
+                _fix_pass()
 
             if it % propagation_iters == 0 and (it != 0 or propagation_iters == 1):
                 with stage_timer("patch propagation"):
                     input_pc = propagate_now()
+
+    if fix_when == "last":
+        with stage_timer("fix pass"):
+            _fix_pass()
 
     with stage_timer("patch propagation"):
         input_pc = propagate_now()
@@ -380,7 +418,8 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
                  n: int = 30, seed: int = 1, timer=None, mesh=None,
                  vote_starts: int = 1, fps_starts: str = "rng",
                  vote_margin: float = 0.0,
-                 fix_models=(), fix_margin: float = 0.25) -> np.ndarray:
+                 fix_models=(), fix_margin: float = 0.25,
+                 fix_when: str = "last", fix_vote: str = "all") -> np.ndarray:
     """Large clouds via <=500 representative points per patch (reference
     orient_large.py:10-90). NOTE pipeline-order parity: normals are estimated
     AFTER normalization here (the reference does the same only in this
@@ -388,8 +427,8 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
     'auto' — ensemble forwards, the rep-interaction matrix and the rest-point
     field pass shard over the devices (results unchanged).
     vote_starts: FPS-start ensembling; vote_margin: confidence-gated flips;
-    fix_models/fix_margin: staged per-point fix pass on the representative
-    sets after each gauge vote (see orient_patches)."""
+    fix_models/fix_margin/fix_when/fix_vote: staged per-point fix pass on
+    the representative sets (see orient_patches)."""
     import jax
 
     stage_timer = timer or timer_factory()
@@ -429,8 +468,42 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
 
     key = derive_keys_cpu(lambda put: jax.random.PRNGKey(1))
 
+    if fix_when not in ("last", "every"):
+        raise ValueError(f"fix_when must be 'last' or 'every', "
+                         f"got {fix_when!r}")
+    if fix_vote not in ("all", "mean"):
+        raise ValueError(f"fix_vote must be 'all' or 'mean', "
+                         f"got {fix_vote!r}")
+
     with stage_timer("network correction"):
         rep_sets = [represent[i][0] for i, _ in patch_indices] if models else []
+
+        def _fix_pass():
+            # staged per-point fix pass (see orient_patches docstring)
+            nonlocal key
+            if not (fix_models and rep_sets):
+                return
+            key, sub = derive_keys_cpu(
+                lambda put: jax.random.split(put(key)))
+            patches_now = [input_pc[r] for r in rep_sets]
+            fmesh = stage_mesh(mesh, "ensemble")
+            if fix_vote == "all":
+                per_model = [ensemble_vote_patches(
+                    [m], patches_now, key=sub, mesh=fmesh,
+                    fps_starts=fps_starts) for m in fix_models]
+                plist = [np.max([pm[i][1] for pm in per_model], axis=0)
+                         for i in range(len(patches_now))]
+            else:
+                plist = [p for _f, p in ensemble_vote_patches(
+                    fix_models, patches_now, key=sub, mesh=fmesh,
+                    fps_starts=fps_starts)]
+            for reps, probs in zip(rep_sets, plist):
+                flip = probs < (0.5 - fix_margin)
+                if flip.mean() >= 0.5:
+                    continue
+                pc_probs[reps[flip]] = 1 - probs[flip]
+                input_pc[reps[flip], 3:6] *= -1
+
         # the reference runs iters sequential re-votes per patch; the patches
         # are independent, so each round is one batched ensemble pass
         for _ in range(iters if rep_sets else 0):
@@ -447,21 +520,10 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
                     flip = probs < (0.5 - vote_margin)
                 pc_probs[reps] = probs
                 input_pc[reps[flip], 3:6] *= -1
-            if fix_models:
-                # staged per-point fix pass (see orient_patches docstring)
-                key, sub = derive_keys_cpu(
-                    lambda put: jax.random.split(put(key)))
-                fvotes = ensemble_vote_patches(
-                    fix_models, [input_pc[r] for r in rep_sets], key=sub,
-                    mesh=stage_mesh(mesh, "ensemble"),
-                    fps_starts=fps_starts,
-                )
-                for reps, (_f, probs) in zip(rep_sets, fvotes):
-                    flip = probs < (0.5 - fix_margin)
-                    if flip.mean() >= 0.5:
-                        continue
-                    pc_probs[reps[flip]] = 1 - probs[flip]
-                    input_pc[reps[flip], 3:6] *= -1
+            if fix_when == "every":
+                _fix_pass()
+        if fix_when == "last":
+            _fix_pass()
 
     with stage_timer("dipole propagation"):
         input_pc = propagate.strongest_field_propagation_reps(

@@ -39,6 +39,8 @@ def run(opts):
         vote_margin=getattr(opts, "vote_margin", 0.0),
         fix_models=getattr(opts, "fix_models", ()),
         fix_margin=getattr(opts, "fix_margin", 0.25),
+        fix_when=getattr(opts, "fix_when", "last"),
+        fix_vote=getattr(opts, "fix_vote", "all"),
     )
 
     with stage_timer("export oriented cloud", count=False):

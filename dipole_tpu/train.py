@@ -319,7 +319,8 @@ def patches_from_cloud(path, number_parts: int = 30, min_patch: int = 100,
 
 def _augment(patch, labels, rng, region_flip: float = 0.0,
              point_flip: float = 0.0, scramble: float = 0.0,
-             region_draws: int = 1):
+             region_draws: int = 1,
+             region_range: tuple = (0.05, 0.5)):
     """Random rotation + random whole-patch flip (labels invert).
 
     region_flip: probability of flipping one random contiguous region (the
@@ -328,6 +329,11 @@ def _augment(patch, labels, rng, region_flip: float = 0.0,
     region_draws: independent draws of the region flip (each with
     probability region_flip) — >1 yields multi-region error patterns,
     the dominant mid-pipeline state on articulated shapes.
+    region_range: (lo, hi) bounds of the flipped-region size as a patch
+    fraction. The default (0.05, 0.5) matches the mid-pipeline cascade
+    states; the measured CONVERGED-pipeline residue is smaller regions
+    (5-27 % with a sub-5 % tail — tools/e2e_patch_diagnostic.py,
+    2026-08-19), so final-pass fixers train with (0.02, 0.3).
     point_flip: probability of sparse random per-point flips (each point
     w.p. 2-15 %) — simulates residual per-point noise in later iterations.
     scramble: probability of randomizing EVERY point's sign (each w.p. 50 %)
@@ -356,7 +362,7 @@ def _augment(patch, labels, rng, region_flip: float = 0.0,
     for _ in range(region_draws):
         if region_flip and rng.random() < region_flip:
             c = int(rng.integers(len(p)))
-            m = max(1, int(len(p) * rng.uniform(0.05, 0.5)))
+            m = max(1, int(len(p) * rng.uniform(*region_range)))
             d = ((p[:, :3] - p[c, :3]) ** 2).sum(-1)
             sel = np.argpartition(d, min(m, len(p) - 1))[:m]
             p[sel, 3:6] *= -1
@@ -379,7 +385,8 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
                     parts_list=None, class_balance: bool = False,
                     region_flip: float = 0.0, point_flip: float = 0.0,
                     scramble: float = 0.0, gauge_free: bool = False,
-                    region_draws: int = 1, extra_data=(),
+                    region_draws: int = 1,
+                    region_range: tuple = (0.05, 0.5), extra_data=(),
                     snapshot_every: int = 0, snapshot_fn=None):
     """Train the flip classifier on real GT-oriented clouds. Returns
     (params, history, eval_accuracy or None).
@@ -437,7 +444,8 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
                 p, l = p[sel], l[sel]
             p, l = _augment(p, l, rng, region_flip=region_flip,
                             point_flip=point_flip, scramble=scramble,
-                            region_draws=region_draws)
+                            region_draws=region_draws,
+                            region_range=region_range)
             pc[i, : len(p)] = p
             lab[i, : len(p)] = l
             valid[i, : len(p)] = True

@@ -58,7 +58,17 @@ def get_parser(name: str = "Base Options") -> argparse.ArgumentParser:
                              "point sets (api.orient_patches docstring)")
     parser.add_argument("--fix_margin", type=float, default=0.25,
                         help="confidence margin for the --fix_models pass "
-                             "(flip where mean P(flip) < 0.5 - fix_margin)")
+                             "(flip where P(flip) < 0.5 - fix_margin)")
+    parser.add_argument("--fix_when", choices=("last", "every"),
+                        default="last",
+                        help="'last' = one fix pass after the vote loop "
+                             "(measured best: false flips cannot compound); "
+                             "'every' = fix pass each iteration")
+    parser.add_argument("--fix_vote", choices=("all", "mean"),
+                        default="all",
+                        help="'all' = flip only points every fixer clears "
+                             "the margin on (precision); 'mean' = "
+                             "reference-style mean probability")
     return parser
 
 
@@ -108,3 +118,5 @@ class PipelineOptions:
     vote_margin: float = 0.0
     fix_models: list = field(default_factory=list)
     fix_margin: float = 0.25
+    fix_when: str = "last"
+    fix_vote: str = "all"

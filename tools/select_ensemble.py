@@ -38,7 +38,7 @@ def _digest(pts):
 
 
 def end_to_end(pts, shape, margin=0.0, fix_pts=(), fix_margin=0.25,
-               cache={}):
+               fix_when="last", fix_vote="all", cache={}):
     """GT sign agreement of the ensemble on the demo config for shape.
     Scores persist in a content-digest-keyed disk cache: the pipeline is
     deterministic (digest-keyed FPS starts), so a combo never needs to be
@@ -55,12 +55,14 @@ def end_to_end(pts, shape, margin=0.0, fix_pts=(), fix_margin=0.25,
     from dipole_tpu.models.inference import load_model_from_file
     from dipole_tpu.utils.io import load_xyz
 
-    key = (tuple(pts), shape, margin, tuple(fix_pts), fix_margin)
+    key = (tuple(pts), shape, margin, tuple(fix_pts), fix_margin,
+           fix_when, fix_vote)
     if key in cache:
         return cache[key]
     dkey = (f"{_digest(pts)}:{shape}:{jax.default_backend()}" +
             (f":m{margin}" if margin else "") +
-            (f":fix{_digest(fix_pts)}:fm{fix_margin}" if fix_pts else ""))
+            (f":fix{_digest(fix_pts)}:fm{fix_margin}"
+             f":fw{fix_when}:fv{fix_vote}" if fix_pts else ""))
     disk = {}
     if CACHE_PATH.exists():
         disk = json.loads(CACHE_PATH.read_text())
@@ -75,7 +77,7 @@ def end_to_end(pts, shape, margin=0.0, fix_pts=(), fix_margin=0.25,
         curvature_threshold=0.01, diffuse=True, weighted_prop=True,
         estimate=True, vote_margin=margin,
         fix_models=[load_model_from_file(str(p)) for p in fix_pts],
-        fix_margin=fix_margin,
+        fix_margin=fix_margin, fix_when=fix_when, fix_vote=fix_vote,
         timer=lambda *_a, **_k: _Null())
     agree = float(((out[:, 3:6] * gt[:, 3:6]).sum(-1) > 0).mean())
     cache[key] = agree
@@ -94,8 +96,10 @@ class _Null:
         return False
 
 
-def score(pts, shapes, margin=0.0, fix_pts=(), fix_margin=0.25):
-    s = {sh: end_to_end(pts, sh, margin, fix_pts, fix_margin)
+def score(pts, shapes, margin=0.0, fix_pts=(), fix_margin=0.25,
+          fix_when="last", fix_vote="all"):
+    s = {sh: end_to_end(pts, sh, margin, fix_pts, fix_margin,
+                        fix_when, fix_vote)
          for sh in shapes}
     return min(s.values()), s
 

@@ -31,6 +31,10 @@ PRESETS = {
     "new3b": [f"/tmp/dipole_tpu_ensemble_r4/model_{s}.pt" for s in (6, 7, 8)],
     "new6": [f"/tmp/dipole_tpu_ensemble_r4/model_{s}.pt"
              for s in range(3, 9)],
+    # best zero-reference gauge ensemble (BASELINE r5: 0.9763/0.9754 at
+    # --vote_margin 0.2) — the stage-1 models the final-pass fixers serve
+    "pair": [str(REPO / "pre_trained_tpu" / "dipole_1.pt"),
+             str(REPO / "pre_trained_tpu" / "dipole_0.pt")],
 }
 
 
