@@ -232,7 +232,8 @@ def orient_patches(points, models=(), iters: int = 100,
                    vote_margin: float = 0.0,
                    fix_models=(), fix_margin: float = 0.25,
                    fix_when: str = "last",
-                   fix_vote: str = "all") -> np.ndarray:
+                   fix_vote: str = "all",
+                   fix_stats: dict | None = None) -> np.ndarray:
     """Patch pipeline with PointCNN ensemble correction (reference
     orient_pointcloud.py:11-83): voxel patches -> curvature filter ->
     orient_center -> iterate {ensemble votes, periodic patch propagation} ->
@@ -285,7 +286,12 @@ def orient_patches(points, models=(), iters: int = 100,
     fix_vote: 'all' flips only points EVERY fixer clears the margin on
     (unanimity — precision over recall; the loop has no second chance
     to undo a false flip under 'last'); 'mean' uses the reference-style
-    mean probability (inference_utils.py:47-49 semantics)."""
+    mean probability (inference_utils.py:47-49 semantics).
+
+    fix_stats: optional dict — each fix pass appends to fix_stats
+    ['passes'] a list of per-patch records (pidx, per-model probs,
+    combined probs, flip mask, guarded flag) for offline analysis
+    (tools/fixer_probe.py). Pure instrumentation, results unchanged."""
     import jax
 
     if torch_rng is not None and int(vote_starts) != 1:
@@ -357,18 +363,29 @@ def orient_patches(points, models=(), iters: int = 100,
             per_model = [ensemble_vote_patches(
                 [m], patches_now, key=sub, mesh=fmesh,
                 fps_starts=fps_starts) for m in fix_models]
-            plist = [np.max([pm[i][1] for pm in per_model], axis=0)
-                     for i in range(len(patches_now))]
+            probs_by_model = [[pm[i][1] for pm in per_model]
+                              for i in range(len(patches_now))]
+            plist = [np.max(ps, axis=0) for ps in probs_by_model]
         else:
             plist = [p for _f, p in ensemble_vote_patches(
                 fix_models, patches_now, key=sub, mesh=fmesh,
                 fps_starts=fps_starts)]
-        for (_, pidx), probs in zip(patch_indices, plist):
+            probs_by_model = [[p] for p in plist]
+        records = []
+        for i, ((_, pidx), probs) in enumerate(zip(patch_indices, plist)):
             flip = probs < (0.5 - fix_margin)
-            if flip.mean() >= 0.5:
+            guarded = bool(flip.mean() >= 0.5)
+            if fix_stats is not None:
+                records.append(dict(
+                    pidx=pidx, probs_by_model=probs_by_model[i],
+                    normals=patches_now[i][:, 3:6].copy(),
+                    probs=probs, flip=flip, guarded=guarded))
+            if guarded:
                 continue  # majority flip = gauge claim, stage 1 owns
             pc_probs[pidx[flip]] = 1 - probs[flip]
             input_pc[pidx[flip], 3:6] *= -1
+        if fix_stats is not None:
+            fix_stats.setdefault("passes", []).append(records)
 
     for it in range(iters):
         with stage_timer(f"iteration {it}"):

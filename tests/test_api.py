@@ -206,3 +206,32 @@ def test_fix_pass_minority_guard(monkeypatch):
     diff = (keep[:, 3:6] * minority[:, 3:6]).sum(-1) < 0
     assert 0 < diff.sum() <= 31
     assert diff.sum() >= 29
+
+
+def test_fix_stats_instrumentation(monkeypatch):
+    """fix_stats records one pass with per-patch probs/flip/guard and does
+    not change results."""
+    gt = make_sphere(300, seed=12)
+
+    def fake_as_models(ms):
+        return list(ms or [])
+
+    def fake_vote(models, patches, **kw):
+        return [(np.zeros(len(p), bool), np.full(len(p), 0.9, np.float32))
+                for p in patches]
+
+    monkeypatch.setattr(api, "_as_models", fake_as_models)
+    monkeypatch.setattr(api, "ensemble_vote_patches", fake_vote)
+    kw = dict(number_parts=1, minimum_points_per_patch=10, iters=1,
+              propagation_iters=10)
+    stats = {}
+    out = api.orient_patches(gt, models=[1], fix_models=[1, 2],
+                             fix_stats=stats, **kw)
+    base = api.orient_patches(gt, models=[1], fix_models=[1, 2], **kw)
+    np.testing.assert_array_equal(out, base)
+    assert len(stats["passes"]) == 1  # fix_when='last' -> exactly one pass
+    rec = stats["passes"][0][0]
+    assert len(rec["probs_by_model"]) == 2  # fix_vote='all' keeps per-model
+    assert rec["probs"].shape == rec["flip"].shape
+    assert rec["normals"].shape == (len(rec["pidx"]), 3)
+    assert not rec["flip"].any() and not rec["guarded"]
