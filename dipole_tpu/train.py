@@ -162,7 +162,8 @@ def _canonical_labels(labels: np.ndarray) -> np.ndarray:
 
 
 def loss_fn(params, pc, labels, valid, keys, pool, m1: int, m2: int,
-            class_balance: bool = False, gauge_free: bool = False):
+            class_balance: bool = False, gauge_free: bool = False,
+            keep_bias: float = 0.5):
     """Per-point cross-entropy over the flip classes.
 
     class_balance=True reweights each point so both label classes
@@ -181,25 +182,41 @@ def loss_fn(params, pc, labels, valid, keys, pool, m1: int, m2: int,
     PERFECT coherent field is 100 % wrong under CE whenever it lands in
     the other gauge, making keep-all (CE ln 2) the true optimum. That is
     the measured round-4 collapse (BASELINE training section). The min
-    over gauges restores the actual task: internal consistency."""
+    over gauges restores the actual task: internal consistency.
+
+    keep_bias (requires class_balance): mass assigned to the keep class
+    (labels==1) vs flip, default 0.5 = symmetric. Final-pass fixers want
+    PRECISION — a false flip at the last pass is never undone (measured:
+    one fixA pass wrecks hand 0.9763 -> 0.7053) — so >0.5 trains the net
+    to be shy about flipping. Under gauge_free the inverted-gauge branch
+    swaps the class masses (inverting labels swaps the class roles), so
+    the bias stays anchored to the patch's presented orientation."""
     logits = jax.vmap(
         lambda c, v, k: pointcnn._forward(params, c, v, k, pool, m1, m2)
     )(pc, valid, keys)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     w = valid.astype(jnp.float32)
+    w_inv = w
     if class_balance:
         pos = w * (labels == 1)
         neg = w * (labels == 0)
         n1 = pos.sum(-1, keepdims=True)
         n0 = neg.sum(-1, keepdims=True)
-        w = 0.5 * (pos / jnp.maximum(n1, 1.0) + neg / jnp.maximum(n0, 1.0))
+        kb = jnp.float32(keep_bias)
+        w = (kb * pos / jnp.maximum(n1, 1.0)
+             + (1 - kb) * neg / jnp.maximum(n0, 1.0))
+        # inverted gauge swaps the class roles, so the bias swaps with it
+        w_inv = ((1 - kb) * pos / jnp.maximum(n1, 1.0)
+                 + kb * neg / jnp.maximum(n0, 1.0))
     vmask = valid.astype(jnp.float32)
     if gauge_free:
         inv = -jnp.take_along_axis(logp, (1 - labels)[..., None],
                                    axis=-1)[..., 0]
         wsum = jnp.maximum(w.sum(-1), 1e-9)
-        per_patch = jnp.minimum((nll * w).sum(-1), (inv * w).sum(-1)) / wsum
+        wsum_inv = jnp.maximum(w_inv.sum(-1), 1e-9)
+        per_patch = jnp.minimum((nll * w).sum(-1) / wsum,
+                                (inv * w_inv).sum(-1) / wsum_inv)
         loss = per_patch.mean()
         pred = logits.argmax(-1)
         agree = ((pred == labels) & valid).sum(-1) / jnp.maximum(
@@ -229,7 +246,8 @@ def param_sharding(mesh: Mesh, params: dict):
 
 def make_train_step(mesh: Mesh, pool: float, m1: int, m2: int,
                     learning_rate: float = 1e-3, total_steps: int = 2000,
-                    class_balance: bool = False, gauge_free: bool = False):
+                    class_balance: bool = False, gauge_free: bool = False,
+                    keep_bias: float = 0.5):
     """Build (opt, jitted train_step) with DP batch sharding + TP params.
     Global-norm clipping + warmup-cosine: the XConv composition has sharp
     curvature (single-batch overfit runs show loss spikes of 50x without
@@ -242,7 +260,7 @@ def make_train_step(mesh: Mesh, pool: float, m1: int, m2: int,
     def step(params, opt_state, pc, labels, valid, keys):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, pc, labels, valid, keys, jnp.float32(pool), m1, m2,
-            class_balance, gauge_free,
+            class_balance, gauge_free, keep_bias,
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -386,7 +404,8 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
                     region_flip: float = 0.0, point_flip: float = 0.0,
                     scramble: float = 0.0, gauge_free: bool = False,
                     region_draws: int = 1,
-                    region_range: tuple = (0.05, 0.5), extra_data=(),
+                    region_range: tuple = (0.05, 0.5),
+                    keep_bias: float = 0.5, extra_data=(),
                     snapshot_every: int = 0, snapshot_fn=None):
     """Train the flip classifier on real GT-oriented clouds. Returns
     (params, history, eval_accuracy or None).
@@ -431,7 +450,8 @@ def train_on_clouds(paths, steps: int = 200, batch: int = 8,
     opt, step_fn = make_train_step(mesh, pool, m1, m2, learning_rate,
                                    total_steps=steps,
                                    class_balance=class_balance,
-                                   gauge_free=gauge_free)
+                                   gauge_free=gauge_free,
+                                   keep_bias=keep_bias)
     opt_state = opt.init(params)
 
     def batch_of(samples):

@@ -229,3 +229,30 @@ def test_loss_fn_class_balance_weighting():
     assert np.isclose(float(plain), nll.mean(), rtol=1e-5)
     w = np.where(labels[0] == 1, 0.5 / 28, 0.5 / 4)
     assert np.isclose(float(bal), (nll * w).sum() / w.sum(), rtol=1e-5)
+
+
+def test_loss_fn_keep_bias_gauge_invariant():
+    """keep_bias composes with gauge_free: the inverted-gauge branch swaps
+    the class masses, so flipping EVERY label (a pure gauge change) leaves
+    the loss identical — and the bias itself changes the loss vs 0.5."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n, m1, m2 = 32, 20, 12
+    pc = rng.normal(size=(1, n, 6)).astype(np.float32)
+    pc[..., 3:] /= np.linalg.norm(pc[..., 3:], axis=-1, keepdims=True)
+    labels = np.zeros((1, n), np.int32)
+    labels[0, :25] = 1
+    valid = np.ones((1, n), bool)
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    params = train.calibrate_init(
+        train.init_params(jax.random.PRNGKey(2)), pc[0], 0.6)
+
+    def loss(lab, kb):
+        val, _ = train.loss_fn(params, jnp.asarray(pc), jnp.asarray(lab),
+                               jnp.asarray(valid), keys, jnp.float32(0.6),
+                               m1, m2, True, True, kb)
+        return float(val)
+
+    assert np.isclose(loss(labels, 0.85), loss(1 - labels, 0.85), rtol=1e-6)
+    assert not np.isclose(loss(labels, 0.85), loss(labels, 0.5), rtol=1e-3)

@@ -54,6 +54,14 @@ RECIPES = {
     "F": dict(region_flip=0.9, region_draws=2, point_flip=0.4, scramble=0.0,
               class_balance=True, gauge_free=False,
               region_range=(0.02, 0.3)),
+    # G/H: E with precision bias — the last-pass fixer must never break a
+    # correct point (keep_bias shifts class mass toward "keep")
+    "G": dict(region_flip=0.9, region_draws=2, point_flip=0.4, scramble=0.0,
+              class_balance=True, gauge_free=True, region_range=(0.02, 0.3),
+              keep_bias=0.7),
+    "H": dict(region_flip=0.9, region_draws=2, point_flip=0.4, scramble=0.0,
+              class_balance=True, gauge_free=True, region_range=(0.02, 0.3),
+              keep_bias=0.85),
 }
 
 
