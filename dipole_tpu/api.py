@@ -233,7 +233,8 @@ def orient_patches(points, models=(), iters: int = 100,
                    fix_models=(), fix_margin: float = 0.25,
                    fix_when: str = "last",
                    fix_vote: str = "all",
-                   fix_stats: dict | None = None) -> np.ndarray:
+                   fix_stats: dict | None = None,
+                   vote_seed: int = 1) -> np.ndarray:
     """Patch pipeline with PointCNN ensemble correction (reference
     orient_pointcloud.py:11-83): voxel patches -> curvature filter ->
     orient_center -> iterate {ensemble votes, periodic patch propagation} ->
@@ -291,7 +292,14 @@ def orient_patches(points, models=(), iters: int = 100,
     fix_stats: optional dict — each fix pass appends to fix_stats
     ['passes'] a list of per-patch records (pidx, per-model probs,
     combined probs, flip mask, guarded flag) for offline analysis
-    (tools/fixer_probe.py). Pure instrumentation, results unchanged."""
+    (tools/fixer_probe.py). Pure instrumentation, results unchanged.
+
+    vote_seed: base PRNG seed of the ensemble vote stream. 1 (the
+    reference's pinned torch.manual_seed, orient_pointcloud.py:8) is the
+    default and reproduces every previously published number; other
+    seeds yield statistically equivalent but decorrelated runs — the
+    vote cascade is measurably chaotic, so consensus over several seeds
+    (api.orient_patches_consensus) averages the cascade noise out."""
     import jax
 
     if torch_rng is not None and int(vote_starts) != 1:
@@ -333,7 +341,7 @@ def orient_patches(points, models=(), iters: int = 100,
     pc_probs = np.ones(len(input_pc), dtype=np.float32)
     from dipole_tpu.models.pointcnn import derive_keys_cpu
 
-    key = derive_keys_cpu(lambda put: jax.random.PRNGKey(1))
+    key = derive_keys_cpu(lambda put: jax.random.PRNGKey(int(vote_seed)))
 
     def propagate_now():
         return propagate.strongest_field_propagation_patches(
@@ -429,6 +437,37 @@ def orient_patches(points, models=(), iters: int = 100,
     return transform.inverse(input_pc)
 
 
+def orient_patches_consensus(points, models=(), runs: int = 3,
+                             vote_seeds=None, **kwargs) -> np.ndarray:
+    """Consensus-of-runs: run orient_patches with `runs` decorrelated vote
+    streams (vote_seed = 1..runs by default) and majority-vote each
+    point's final sign.
+
+    Why this works: the vote/propagation cascade is measurably chaotic —
+    the same ensemble lands percents apart under different FPS-start
+    streams (BASELINE round-3 start-noise table) or backends (0.9536 vs
+    0.7990 measured on one pair) — so a single run's residual errors are
+    partly run-specific. Majority over an odd number of decorrelated runs
+    keeps each point's most common sign, which recovers points that only
+    a minority of runs get wrong. Deterministic (fixed seed set), and
+    vote_seeds=[1] is exactly one reference-semantics run. Cost: runs x
+    one pipeline; the runs share every compiled program."""
+    if vote_seeds is None:
+        vote_seeds = list(range(1, int(runs) + 1))
+    outs = [orient_patches(points, models=models, vote_seed=s, **kwargs)
+            for s in vote_seeds]
+    base = outs[0].copy()
+    votes = np.zeros(len(base), np.int64)
+    for o in outs:
+        s = np.where((o[:, 3:6] * base[:, 3:6]).sum(-1) >= 0, 1, -1)
+        # align the run's global gauge to the anchor first: the lattice
+        # sign fix picks the same orientation in practice, but a run that
+        # landed in the opposite gauge must not vote inverted
+        votes += s * (1 if s.sum() >= 0 else -1)
+    base[votes < 0, 3:6] *= -1
+    return base
+
+
 def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
                  minimum_points_per_patch: int = 21,
                  curvature_threshold: float = 0.0, estimate: bool = False,
@@ -436,7 +475,8 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
                  vote_starts: int = 1, fps_starts: str = "rng",
                  vote_margin: float = 0.0,
                  fix_models=(), fix_margin: float = 0.25,
-                 fix_when: str = "last", fix_vote: str = "all") -> np.ndarray:
+                 fix_when: str = "last", fix_vote: str = "all",
+                 vote_seed: int = 1) -> np.ndarray:
     """Large clouds via <=500 representative points per patch (reference
     orient_large.py:10-90). NOTE pipeline-order parity: normals are estimated
     AFTER normalization here (the reference does the same only in this
@@ -483,7 +523,7 @@ def orient_large(points, models=(), iters: int = 100, number_parts: int = 15,
     pc_probs = np.ones(len(input_pc), dtype=np.float32)
     from dipole_tpu.models.pointcnn import derive_keys_cpu
 
-    key = derive_keys_cpu(lambda put: jax.random.PRNGKey(1))
+    key = derive_keys_cpu(lambda put: jax.random.PRNGKey(int(vote_seed)))
 
     if fix_when not in ("last", "every"):
         raise ValueError(f"fix_when must be 'last' or 'every', "

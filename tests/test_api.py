@@ -235,3 +235,42 @@ def test_fix_stats_instrumentation(monkeypatch):
     assert rec["probs"].shape == rec["flip"].shape
     assert rec["normals"].shape == (len(rec["pidx"]), 3)
     assert not rec["flip"].any() and not rec["guarded"]
+
+
+def test_orient_patches_consensus_majority(monkeypatch):
+    """Majority over decorrelated runs keeps each point's most common
+    sign, anchored to run 0 (global-flip-invariant)."""
+    gt = make_sphere(50, seed=13)
+    outs = []
+    for flips in ([0, 1], [1, 2], [3]):
+        o = gt.copy()
+        o[flips, 3:6] *= -1
+        outs.append(o)
+    # run 2 additionally globally flipped: must not change the consensus
+    outs[2][:, 3:6] *= -1
+    calls = iter(outs)
+    monkeypatch.setattr(api, "orient_patches",
+                        lambda pts, models=(), vote_seed=1, **kw: next(calls))
+    out = api.orient_patches_consensus(gt, runs=3)
+    agree = (out[:, 3:6] * gt[:, 3:6]).sum(-1) > 0
+    # point 1 wrong in 2/3 runs -> stays wrong; 0,2,3 wrong in 1/3 -> fixed
+    assert not agree[1]
+    assert agree[0] and agree[2] and agree[3] and agree[4:].all()
+
+
+def test_vote_seed_default_reproduces():
+    """vote_seed=1 is the published stream; another seed changes only the
+    RNG (same shapes, valid output)."""
+    from pathlib import Path
+
+    ckpt = Path(dipole_tpu.__file__).resolve().parent.parent / \
+        "pre_trained_tpu" / "dipole_0.pt"
+    gt = make_sphere(400, seed=14)
+    pc, _ = scramble_signs(gt, seed=15)
+    kw = dict(number_parts=2, minimum_points_per_patch=20, iters=1,
+              propagation_iters=1, models=[ckpt])
+    a = api.orient_patches(pc, **kw)
+    b = api.orient_patches(pc, vote_seed=1, **kw)
+    np.testing.assert_array_equal(a, b)
+    c = api.orient_patches(pc, vote_seed=7, **kw)
+    assert c.shape == a.shape and np.isfinite(c).all()

@@ -38,7 +38,8 @@ def _digest(pts):
 
 
 def end_to_end(pts, shape, margin=0.0, fix_pts=(), fix_margin=0.25,
-               fix_when="last", fix_vote="all", cache={}):
+               fix_when="last", fix_vote="all", fps_starts="rng",
+               cache={}):
     """GT sign agreement of the ensemble on the demo config for shape.
     Scores persist in a content-digest-keyed disk cache: the pipeline is
     deterministic (digest-keyed FPS starts), so a combo never needs to be
@@ -56,13 +57,14 @@ def end_to_end(pts, shape, margin=0.0, fix_pts=(), fix_margin=0.25,
     from dipole_tpu.utils.io import load_xyz
 
     key = (tuple(pts), shape, margin, tuple(fix_pts), fix_margin,
-           fix_when, fix_vote)
+           fix_when, fix_vote, fps_starts)
     if key in cache:
         return cache[key]
     dkey = (f"{_digest(pts)}:{shape}:{jax.default_backend()}" +
             (f":m{margin}" if margin else "") +
             (f":fix{_digest(fix_pts)}:fm{fix_margin}"
-             f":fw{fix_when}:fv{fix_vote}" if fix_pts else ""))
+             f":fw{fix_when}:fv{fix_vote}" if fix_pts else "") +
+            (f":fs{fps_starts}" if fps_starts != "rng" else ""))
     disk = {}
     if CACHE_PATH.exists():
         disk = json.loads(CACHE_PATH.read_text())
@@ -75,7 +77,7 @@ def end_to_end(pts, shape, margin=0.0, fix_pts=(), fix_margin=0.25,
         gt[:, :3], models=models, iters=10, propagation_iters=5,
         number_parts=30, minimum_points_per_patch=100,
         curvature_threshold=0.01, diffuse=True, weighted_prop=True,
-        estimate=True, vote_margin=margin,
+        estimate=True, vote_margin=margin, fps_starts=fps_starts,
         fix_models=[load_model_from_file(str(p)) for p in fix_pts],
         fix_margin=fix_margin, fix_when=fix_when, fix_vote=fix_vote,
         timer=lambda *_a, **_k: _Null())
@@ -97,9 +99,9 @@ class _Null:
 
 
 def score(pts, shapes, margin=0.0, fix_pts=(), fix_margin=0.25,
-          fix_when="last", fix_vote="all"):
+          fix_when="last", fix_vote="all", fps_starts="rng"):
     s = {sh: end_to_end(pts, sh, margin, fix_pts, fix_margin,
-                        fix_when, fix_vote)
+                        fix_when, fix_vote, fps_starts)
          for sh in shapes}
     return min(s.values()), s
 
