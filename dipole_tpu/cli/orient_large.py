@@ -41,6 +41,7 @@ def run(opts):
         fix_margin=getattr(opts, "fix_margin", 0.25),
         fix_when=getattr(opts, "fix_when", "last"),
         fix_vote=getattr(opts, "fix_vote", "all"),
+        vote_seed=getattr(opts, "vote_seed", 1),
     )
 
     with stage_timer("export oriented cloud", count=False):

@@ -22,7 +22,15 @@ def run(opts):
     export_path.mkdir(exist_ok=True, parents=True)
 
     pc = load_xyz(opts.pc)
-    oriented = api.orient_patches(
+    consensus = int(getattr(opts, "consensus", 1))
+    seed0 = int(getattr(opts, "vote_seed", 1))
+    if consensus <= 1:
+        entry = lambda pc, **kw: api.orient_patches(  # noqa: E731
+            pc, vote_seed=seed0, **kw)
+    else:
+        entry = lambda pc, **kw: api.orient_patches_consensus(  # noqa: E731
+            pc, vote_seeds=list(range(seed0, seed0 + consensus)), **kw)
+    oriented = entry(
         pc, models=opts.models, iters=opts.iters,
         propagation_iters=opts.propagation_iters,
         number_parts=opts.number_parts,

@@ -69,6 +69,16 @@ def get_parser(name: str = "Base Options") -> argparse.ArgumentParser:
                         help="'all' = flip only points every fixer clears "
                              "the margin on (precision); 'mean' = "
                              "reference-style mean probability")
+    parser.add_argument("--consensus", type=int, default=1,
+                        help="run the patch pipeline this many times with "
+                             "decorrelated vote streams and majority-vote "
+                             "each point's final sign (odd; 1 = one "
+                             "reference-semantics run). The cascade is "
+                             "chaotic, so consensus averages its noise "
+                             "out at consensus x runtime")
+    parser.add_argument("--vote_seed", type=int, default=1,
+                        help="base PRNG seed of the ensemble vote stream "
+                             "(1 = the reference's pinned seed)")
     return parser
 
 
@@ -120,3 +130,5 @@ class PipelineOptions:
     fix_margin: float = 0.25
     fix_when: str = "last"
     fix_vote: str = "all"
+    consensus: int = 1
+    vote_seed: int = 1
