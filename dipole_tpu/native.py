@@ -50,6 +50,12 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int8),
         ]
+        if hasattr(lib, "dn_pca_normals"):  # absent in pre-r5 builds
+            lib.dn_pca_normals.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+            ]
         _lib = lib
     except Exception:
         _lib = None
@@ -167,3 +173,27 @@ def flip_local_search(M: np.ndarray, x0: np.ndarray, minimize: bool,
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_rounds,
     )
     return x
+
+
+def pca_normals(pos: np.ndarray, idx: np.ndarray, d2: np.ndarray,
+                r2: float):
+    """Masked-PCA smallest-eigenvector normals over precomputed kNN
+    neighborhoods (same closed form as ops/linalg.eigh3x3 — see
+    dn_pca_normals). Returns (n, 3) float32, or None when the native
+    library is unavailable or predates the symbol."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dn_pca_normals"):
+        return None
+    pos = np.ascontiguousarray(np.asarray(pos, np.float32)[:, :3])
+    idx = np.ascontiguousarray(np.asarray(idx, np.int32))
+    d2 = np.ascontiguousarray(np.asarray(d2, np.float32))
+    n, k = idx.shape
+    out = np.empty((n, 3), np.float32)
+    lib.dn_pca_normals(
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        d2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        k, float(r2),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out

@@ -92,12 +92,23 @@ def estimate_normals(inputpc, max_nn: int = 30, radius: float = 0.1,
     covariance + closed-form 3x3 eigendecomposition run on device."""
     from dipole_tpu import native
 
+    import os
+
     inputpc = np.asarray(inputpc, dtype=np.float32)
     pos = inputpc[:, :3]
     n = len(pos)
     k = min(max_nn, n)
     idx, d2 = native.knn(pos, pos, k)
-    normals = _masked_pca_best(pos[idx], d2 <= radius * radius)
+    normals = None
+    if os.environ.get("DIPOLE_TPU_NATIVE_PCA"):
+        # opt-in fully-native PCA (same closed form, float-tolerance
+        # equal; skips the (N,k,3) gather + jax dispatch — the serving
+        # host floor's largest stage). Opt-in rather than default so the
+        # published demo numbers stay bit-reproducible: the cascade is
+        # chaotic, so even 1-ULP normal changes can move e2e scores.
+        normals = native.pca_normals(pos, idx, d2, radius * radius)
+    if normals is None:
+        normals = _masked_pca_best(pos[idx], d2 <= radius * radius)
     out = np.concatenate([pos, normals.astype(np.float32)], axis=1)
     if keep_orientation and inputpc.shape[1] == 6:
         flip = (inputpc[:, 3:6] * out[:, 3:6]).sum(axis=-1) < 0

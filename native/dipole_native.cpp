@@ -375,4 +375,93 @@ double dn_flip_local_search(int n, const double* M, int8_t sign, uint8_t* x,
   return obj;
 }
 
+// Masked PCA normals: for each of n points, the covariance over its <=k
+// neighbors with d2 <= r2, then the smallest eigenvector via the SAME
+// closed form as dipole_tpu/ops/linalg.py (Smith trigonometric
+// eigenvalues + the Cayley-Hamilton column with the largest norm, first
+// max on ties, (0,0,1) degenerate fallback) so the native and device
+// paths agree to float tolerance (the serving host-floor hot stage:
+// BASELINE round-5 breakdown, estimate 157 ms/req of which ~115 ms is
+// the gather + CPU-jax PCA this replaces).
+void dn_pca_normals(const float* pos, int n, const int* idx,
+                    const float* d2, int k, float r2, float* out) {
+  parallel_for(n, [&](int b, int e) {
+    for (int i = b; i < e; ++i) {
+      const int* nb = idx + (int64_t)i * k;
+      const float* dd = d2 + (int64_t)i * k;
+      double mx = 0, my = 0, mz = 0;
+      int cnt = 0;
+      for (int j = 0; j < k; ++j)
+        if (dd[j] <= r2) {
+          const float* p = pos + 3 * (int64_t)nb[j];
+          mx += p[0]; my += p[1]; mz += p[2];
+          ++cnt;
+        }
+      double c = cnt > 0 ? (double)cnt : 1.0;
+      mx /= c; my /= c; mz /= c;
+      double a00 = 0, a01 = 0, a02 = 0, a11 = 0, a12 = 0, a22 = 0;
+      for (int j = 0; j < k; ++j)
+        if (dd[j] <= r2) {
+          const float* p = pos + 3 * (int64_t)nb[j];
+          double dx = p[0] - mx, dy = p[1] - my, dz = p[2] - mz;
+          a00 += dx * dx; a01 += dx * dy; a02 += dx * dz;
+          a11 += dy * dy; a12 += dy * dz; a22 += dz * dz;
+        }
+      a00 /= c; a01 /= c; a02 /= c; a11 /= c; a12 /= c; a22 /= c;
+      // Smith eigenvalues (we need the two larger ones: the smallest
+      // eigenvector comes from (A - mid I)(A - big I))
+      double q = (a00 + a11 + a22) / 3.0;
+      double p1 = a01 * a01 + a02 * a02 + a12 * a12;
+      double b00 = a00 - q, b11 = a11 - q, b22 = a22 - q;
+      double p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1;
+      double lam_mid = q, lam_big = q;
+      if (p2 > 1e-30) {
+        double pp = std::sqrt(p2 / 6.0);
+        double inv = 1.0 / pp;
+        double c00 = b00 * inv, c11 = b11 * inv, c22 = b22 * inv;
+        double c01 = a01 * inv, c02 = a02 * inv, c12 = a12 * inv;
+        double detB = c00 * (c11 * c22 - c12 * c12)
+                    - c01 * (c01 * c22 - c12 * c02)
+                    + c02 * (c01 * c12 - c11 * c02);
+        double r = detB / 2.0;
+        r = std::min(std::max(r, -1.0 + 1e-6), 1.0 - 1e-6);
+        double phi = std::acos(r) / 3.0;
+        double big = q + 2.0 * pp * std::cos(phi);
+        double small = q + 2.0 * pp * std::cos(phi + 2.0 * M_PI / 3.0);
+        lam_mid = 3.0 * q - big - small;
+        lam_big = big;
+      }
+      double A[3][3] = {{a00, a01, a02}, {a01, a11, a12}, {a02, a12, a22}};
+      double Ma[3][3], Mb[3][3], P[3][3];
+      for (int r = 0; r < 3; ++r)
+        for (int cc = 0; cc < 3; ++cc) {
+          Ma[r][cc] = A[r][cc] - (r == cc ? lam_mid : 0.0);
+          Mb[r][cc] = A[r][cc] - (r == cc ? lam_big : 0.0);
+        }
+      for (int r = 0; r < 3; ++r)
+        for (int cc = 0; cc < 3; ++cc)
+          P[r][cc] = Ma[r][0] * Mb[0][cc] + Ma[r][1] * Mb[1][cc]
+                   + Ma[r][2] * Mb[2][cc];
+      int best = 0;
+      double bn = -1.0;
+      for (int cc = 0; cc < 3; ++cc) {
+        double s = P[0][cc] * P[0][cc] + P[1][cc] * P[1][cc]
+                 + P[2][cc] * P[2][cc];
+        if (s > bn) { bn = s; best = cc; }
+      }
+      double vx = P[0][best], vy = P[1][best], vz = P[2][best];
+      double n2 = vx * vx + vy * vy + vz * vz;
+      if (n2 > 1e-24) {
+        double inv = 1.0 / std::sqrt(n2);
+        vx *= inv; vy *= inv; vz *= inv;
+      } else {
+        vx = 0.0; vy = 0.0; vz = 1.0;
+      }
+      out[3 * (int64_t)i + 0] = (float)vx;
+      out[3 * (int64_t)i + 1] = (float)vy;
+      out[3 * (int64_t)i + 2] = (float)vz;
+    }
+  });
+}
+
 }  // extern "C"
